@@ -1,0 +1,188 @@
+"""Configuration system.
+
+Replaces the reference's OpenCV ``FileStorage`` YAML singleton
+(``include/myslam/config.h:27-47``, ``src/config.cpp:25-42``) with a frozen
+dataclass.  All 16 keys of the reference ``config/default.yaml:1-31`` are
+preserved verbatim so reference config files load unmodified; the dataclass is
+hashable so it can be passed as a static argument to jitted step functions
+(capacities and thresholds become compile-time constants, which is what XLA's
+static-shape model wants).
+
+Extra, TPU-only keys (fixed capacities, RANSAC lane counts, ...) have defaults
+mirroring the reference's hard-coded constants, e.g. RANSAC 100 iters / 4 px /
+P3P seeded with the previous pose (``src/frontend.cpp:238-241``) and Huber
+delta sqrt(7.815) with 10+10 LM iterations (``src/frontend.cpp:282-310``,
+``src/backend.cpp:84,141,159``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Mapping
+
+
+@dataclasses.dataclass(frozen=True)
+class VOConfig:
+    # ---- reference keys (config/default.yaml:1-31), names kept verbatim ----
+    dataset_dir: str = ""
+    output_file: str = "./output/output.txt"
+    camera_fx: float = 517.3
+    camera_fy: float = 516.5
+    camera_cx: float = 318.6
+    camera_cy: float = 255.3
+    camera_depth_scale: float = 5000.0
+    number_of_features: int = 500
+    scale_factor: float = 1.2
+    level_pyramid: int = 8
+    match_ratio: float = 2.0
+    max_num_lost: int = 10
+    min_inliers: int = 10
+    keyframe_rotation: float = 0.05
+    keyframe_translation: float = 0.05
+    enable_local_optimization: bool = True
+    chi2_th: float = 1.0
+    enable_viewer: bool = False
+
+    # ---- image geometry (TUM Kinect: 640x480, README.md:52) ----
+    image_width: int = 640
+    image_height: int = 480
+
+    # ---- ORB frontend (defaults follow cv::ORB defaults used at
+    #      src/frontend.cpp:35-37: edgeThreshold=31, patchSize=31,
+    #      fastThreshold=20, Harris ranking) ----
+    fast_threshold: int = 20
+    edge_threshold: int = 31
+    descriptor_pairs: int = 256  # rBRIEF bits
+
+    # ---- matching (src/frontend.cpp:190-211): keep matches with
+    #      dist <= max(min_dis * match_ratio, min_match_distance) ----
+    min_match_distance: float = 30.0
+
+    # ---- RANSAC PnP (src/frontend.cpp:238-241): the reference runs 100
+    #      sequential P3P iterations @ 4 px / 0.99 conf; we evaluate
+    #      `ransac_hypotheses` lanes in parallel. ----
+    ransac_hypotheses: int = 128
+    ransac_reproj_threshold: float = 4.0
+
+    # ---- pose-only BA (src/frontend.cpp:256-312) ----
+    huber_delta: float = math.sqrt(7.815)
+    pose_ba_iterations: int = 10  # per round; two rounds as in the reference
+    pose_chi2_outlier: float = 1.0  # chi2>1 -> outlier (frontend.cpp:293-307)
+
+    # ---- local BA backend (src/backend.cpp:19-195) ----
+    ba_iterations: int = 10  # per round; two rounds with pruning in between
+    ba_max_poses: int = 16  # covisible-window pose capacity (padded)
+    ba_max_points: int = 8192  # mappoint capacity inside one BA solve
+    ba_max_edges: int = 16384  # observation-edge capacity inside one BA solve
+
+    # ---- tracking-map / covisibility (frame.cpp:114, frontend.cpp:163-166) --
+    covisibility_weight_threshold: int = 15
+    tracking_map_min_points: int = 100
+    max_observe_angle: float = math.pi / 6  # frame.cpp:86-89
+
+    # ---- quality gates (frontend.cpp:334-364) ----
+    max_motion_norm: float = 5.0
+
+    # ---- fixed capacities of the functional map state ----
+    max_keyframes: int = 512
+    max_mappoints: int = 131072
+    max_obs_per_mappoint: int = 16
+
+    # ---- triangulation (util.h:16-34, frontend.cpp:465-506) ----
+    triangulation_min_obs: int = 2
+    triangulation_sv_ratio: float = 1e-2
+    # the reference `break`s after the first successful triangulation per
+    # keyframe (frontend.cpp:501); set True only for strict parity runs
+    compat_single_triangulation: bool = False
+    # the reference increments the lost counter twice per bad frame
+    # (frontend.cpp:113-114); set True for strict parity
+    compat_double_lost_increment: bool = False
+
+    # ---- numerics ----
+    dtype: str = "float32"
+
+    def __post_init__(self):
+        if self.number_of_features <= 0:
+            raise ValueError("number_of_features must be positive")
+        if self.level_pyramid <= 0:
+            raise ValueError("level_pyramid must be positive")
+        if self.scale_factor <= 1.0:
+            raise ValueError("scale_factor must be > 1")
+
+    # Mapping from reference YAML keys (config/default.yaml) to field names.
+    _YAML_KEYS = {
+        "dataset_dir": "dataset_dir",
+        "output_file": "output_file",
+        "camera.fx": "camera_fx",
+        "camera.fy": "camera_fy",
+        "camera.cx": "camera_cx",
+        "camera.cy": "camera_cy",
+        "camera.depth_scale": "camera_depth_scale",
+        "number_of_features": "number_of_features",
+        "scale_factor": "scale_factor",
+        "level_pyramid": "level_pyramid",
+        "match_ratio": "match_ratio",
+        "max_num_lost": "max_num_lost",
+        "min_inliers": "min_inliers",
+        "keyframe_rotation": "keyframe_rotation",
+        "keyframe_translation": "keyframe_translation",
+        "enable_local_optimization": "enable_local_optimization",
+        "chi2_th": "chi2_th",
+        "enable_viewer": "enable_viewer",
+    }
+
+    @classmethod
+    def from_dict(cls, raw: Mapping[str, Any]) -> "VOConfig":
+        """Build a config from a flat dict of YAML keys.
+
+        Both the reference's dotted keys (``camera.fx``) and the dataclass
+        field names (``camera_fx``) are accepted.
+        """
+        fields = {f.name: f for f in dataclasses.fields(cls)}
+        kwargs: dict[str, Any] = {}
+        for key, value in raw.items():
+            name = cls._YAML_KEYS.get(key, key)
+            if name not in fields:
+                continue  # ignore unknown keys like the reference FileStorage
+            ftype = fields[name].type
+            if ftype in ("bool", bool):
+                value = bool(int(value)) if not isinstance(value, bool) else value
+            elif ftype in ("int", int):
+                value = int(value)
+            elif ftype in ("float", float):
+                value = float(value)
+            kwargs[name] = value
+        return cls(**kwargs)
+
+    def replace(self, **kw) -> "VOConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def _parse_opencv_yaml(text: str) -> dict:
+    """Parse an OpenCV FileStorage YAML file (the reference's config format).
+
+    OpenCV writes a ``%YAML:1.0`` directive that standard YAML parsers
+    reject, so it is stripped before delegating to PyYAML.  Mirrors what
+    ``cv::FileStorage`` gives the reference (``src/config.cpp:29``).
+    """
+    import yaml
+
+    lines = [
+        ln
+        for ln in text.splitlines()
+        if not ln.startswith("%YAML") and ln.strip() != "---"
+    ]
+    data = yaml.safe_load("\n".join(lines))
+    return data or {}
+
+
+def load_config(path: str) -> VOConfig:
+    """Load a VOConfig from a YAML file (reference or native format).
+
+    Equivalent of ``Config::setParameterFile`` + typed ``Config::get``
+    (``src/config.cpp:25-42``, ``include/myslam/config.h:42-46``), but the
+    result is an immutable value, not a process-global singleton.
+    """
+    with open(path, "r", encoding="utf-8") as f:
+        return VOConfig.from_dict(_parse_opencv_yaml(f.read()))
