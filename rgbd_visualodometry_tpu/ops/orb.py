@@ -1,0 +1,189 @@
+"""ORB feature extraction: pyramid -> FAST-9 -> Harris top-K -> intensity
+centroid orientation -> rotated BRIEF, all in one statically-shaped jitted
+program.
+
+TPU-native replacement for ``cv::ORB::create(nfeatures, scaleFactor,
+nlevels).detectAndCompute`` (reference ``src/frontend.cpp:35-37,150-154``).
+Design differences forced (and enabled) by the TPU:
+
+- Fixed feature budget: every level yields exactly ``K_l`` slots (geometric
+  allocation like cv::ORB) with a validity mask - variable keypoint counts
+  become masked lanes, never dynamic shapes.
+- The descriptor pattern is a seeded Gaussian BRIEF pattern (BRIEF paper
+  distribution) rather than OpenCV's learned table; descriptors only ever
+  match against descriptors produced by this module, so self-consistency is
+  what matters (SURVEY.md section 7 hard part #1 discussion).
+- Rotation is applied with continuous cos/sin instead of OpenCV's 12-degree
+  quantization - cheaper here, slightly more accurate.
+- Descriptors are emitted twice: packed ``uint32[8]`` (storage, 256 bits)
+  and bipolar ``int8[256]`` (so Hamming matching can run on the MXU as an
+  int8 matmul - see :mod:`rgbd_visualodometry_tpu.ops.matching`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rgbd_visualodometry_tpu.ops import fast
+from rgbd_visualodometry_tpu.ops import image as im
+
+PATCH = 33  # sampling patch (31 active + 1 px bilinear/rounding margin)
+PATCH_R = PATCH // 2  # 16
+ORIENT_R = 15  # intensity-centroid radius (cv::ORB HALF_PATCH_SIZE)
+PATTERN_R = 13  # max BRIEF offset norm, so rotated samples stay in PATCH
+N_BITS = 256
+
+
+def _make_brief_pattern(n_bits: int = N_BITS, seed: int = 20240216) -> np.ndarray:
+    """[n_bits, 2, 2] float32 (pair, point, (x, y)) sampling offsets.
+
+    Coordinates drawn from N(0, (31/5)^2) as in the BRIEF paper, rejection-
+    clipped to a disc of radius PATTERN_R so any in-plane rotation keeps the
+    samples inside the patch.
+    """
+    rng = np.random.RandomState(seed)
+    pts = np.empty((n_bits * 2, 2), np.float32)
+    count = 0
+    while count < n_bits * 2:
+        cand = rng.normal(0.0, 31.0 / 5.0, size=(n_bits * 4, 2))
+        ok = np.linalg.norm(cand, axis=1) <= PATTERN_R
+        cand = cand[ok]
+        take = min(len(cand), n_bits * 2 - count)
+        pts[count : count + take] = cand[:take]
+        count += take
+    return pts.reshape(n_bits, 2, 2).astype(np.float32)
+
+
+BRIEF_PATTERN = _make_brief_pattern()
+
+# circular mask + coordinate grids for the intensity centroid, on the
+# full sampling patch (only radius <= ORIENT_R participates)
+_dy, _dx = np.mgrid[-PATCH_R:PATCH_R + 1, -PATCH_R:PATCH_R + 1]
+_CIRC_MASK = (_dy**2 + _dx**2 <= ORIENT_R**2).astype(np.float32)
+_CX = (_dx * _CIRC_MASK).astype(np.float32)
+_CY = (_dy * _CIRC_MASK).astype(np.float32)
+
+
+class ORBFeatures(NamedTuple):
+    """One frame's fixed-size keypoint set (the ``keypointsCurr_`` /
+    ``descriptorsCurr_`` pair of ``include/myslam/frontend.h``)."""
+
+    xy: jnp.ndarray  # [N, 2] float32, level-0 pixel coords (x, y)
+    response: jnp.ndarray  # [N] float32 (Harris)
+    angle: jnp.ndarray  # [N] float32 radians
+    octave: jnp.ndarray  # [N] int32 pyramid level
+    size: jnp.ndarray  # [N] float32 patch diameter at level 0
+    valid: jnp.ndarray  # [N] bool
+    desc: jnp.ndarray  # [N, 8] uint32 packed 256-bit descriptors
+    desc_bipolar: jnp.ndarray  # [N, 256] int8 in {-1, +1}
+
+    @property
+    def n(self) -> int:
+        return self.xy.shape[0]
+
+
+def _extract_patches(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """Gather [K, PATCH, PATCH] patches centered at integer coords xy."""
+    padded = jnp.pad(img, PATCH_R, mode="edge")
+
+    def one(pt):
+        # center (x, y) maps to padded top-left (y, x)
+        return jax.lax.dynamic_slice(
+            padded, (pt[1], pt[0]), (PATCH, PATCH)
+        )
+
+    return jax.vmap(one)(xy)
+
+
+def _orientations(patches: jnp.ndarray) -> jnp.ndarray:
+    """Intensity-centroid angle per patch (cv::ORB IC_Angle)."""
+    m10 = jnp.sum(patches * jnp.asarray(_CX), axis=(-2, -1))
+    m01 = jnp.sum(patches * jnp.asarray(_CY), axis=(-2, -1))
+    return jnp.arctan2(m01, m10)
+
+
+def _descriptors(patches: jnp.ndarray, angles: jnp.ndarray):
+    """Steered BRIEF over blurred patches.
+
+    patches: [K, PATCH, PATCH] (already Gaussian-blurred),
+    angles: [K]. Returns (packed uint32 [K, 8], bipolar int8 [K, 256]).
+    """
+    pat = jnp.asarray(BRIEF_PATTERN)  # [256, 2, 2] (x, y)
+    c, s = jnp.cos(angles), jnp.sin(angles)  # [K]
+    px, py = pat[..., 0], pat[..., 1]  # [256, 2]
+    # rotate offsets: broadcast [K, 1, 1] x [256, 2]
+    rx = c[:, None, None] * px - s[:, None, None] * py
+    ry = s[:, None, None] * px + c[:, None, None] * py
+    ix = jnp.clip(jnp.round(rx).astype(jnp.int32) + PATCH_R, 0, PATCH - 1)
+    iy = jnp.clip(jnp.round(ry).astype(jnp.int32) + PATCH_R, 0, PATCH - 1)
+    flat = patches.reshape(patches.shape[0], -1)  # [K, PATCH*PATCH]
+    lin = iy * PATCH + ix  # [K, 256, 2]
+    vals = jnp.take_along_axis(flat[:, None, :], lin.reshape(lin.shape[0], -1)[:, None, :], axis=-1)
+    vals = vals.reshape(lin.shape)  # [K, 256, 2]
+    bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint32)  # [K, 256]
+
+    shifts = jnp.left_shift(jnp.uint32(1), jnp.arange(32, dtype=jnp.uint32))
+    packed = jnp.sum(bits.reshape(bits.shape[0], 8, 32) * shifts, axis=-1, dtype=jnp.uint32)
+    bipolar = (bits.astype(jnp.int8) * 2 - 1).astype(jnp.int8)
+    return packed, bipolar
+
+
+@partial(jax.jit, static_argnames=("nfeatures", "nlevels", "scale", "threshold", "border"))
+def extract(
+    gray: jnp.ndarray,
+    nfeatures: int = 500,
+    nlevels: int = 8,
+    scale: float = 1.2,
+    threshold: float = 20.0,
+    border: int = 31,
+) -> ORBFeatures:
+    """Full ORB extraction on a float32 grayscale image [H, W].
+
+    One compiled program covers all pyramid levels (static Python loop);
+    output arrays always have exactly ``nfeatures`` rows with a validity
+    mask.  Equivalent of ``orb_->detectAndCompute`` at
+    ``src/frontend.cpp:150-154``.
+    """
+    pyr = im.build_pyramid(gray, nlevels, scale)
+    quotas = im.features_per_level(nfeatures, nlevels, scale)
+    scales = im.level_scales(nlevels, scale)
+
+    outs = []
+    for lvl, (img, quota, sc) in enumerate(zip(pyr, quotas, scales)):
+        if quota == 0:
+            continue
+        # shrink the border on tiny levels so they can still contribute
+        h, w = img.shape
+        b = min(border, max((min(h, w) - 2 * PATCH_R - 2) // 2, PATCH_R + 1))
+        xy, resp, valid = fast.detect_level(img, threshold, b, quota)
+        raw_patches = _extract_patches(img, xy)
+        angle = _orientations(raw_patches)
+        blurred = im.gaussian_blur(img, 7, 2.0)
+        blur_patches = _extract_patches(blurred, xy)
+        packed, bipolar = _descriptors(blur_patches, angle)
+        outs.append(
+            ORBFeatures(
+                xy=xy.astype(jnp.float32) * sc,
+                response=resp,
+                angle=angle,
+                octave=jnp.full(quota, lvl, jnp.int32),
+                size=jnp.full(quota, 31.0 * sc, jnp.float32),
+                valid=valid,
+                desc=packed,
+                desc_bipolar=bipolar,
+            )
+        )
+
+    merged = ORBFeatures(*[jnp.concatenate(f, axis=0) for f in zip(*outs)])
+    # zero out invalid lanes so downstream masked math sees benign values
+    v = merged.valid
+    return merged._replace(
+        xy=jnp.where(v[:, None], merged.xy, 0.0),
+        response=jnp.where(v, merged.response, -jnp.inf),
+        desc_bipolar=jnp.where(v[:, None], merged.desc_bipolar, 0).astype(jnp.int8),
+    )
