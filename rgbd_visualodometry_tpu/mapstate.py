@@ -1,0 +1,296 @@
+"""The world state: keyframes, mappoints, observations, covisibility.
+
+This one fixed-capacity pytree replaces the reference's entire mutable object
+graph - the ``MapManager`` singleton (``include/myslam/mapmanager.h:23-26``),
+per-object mutexes, ``Frame``'s observation / covisibility bookkeeping
+(``src/frame.cpp:93-171``) and ``Mappoint``'s observation map
+(``include/myslam/mappoint.h:59-88``).  Because the state is immutable and
+threaded through jitted step functions, the data races the reference guards
+against with five mutexes are impossible by construction (SURVEY.md section 5).
+
+Representation choices (TPU-first):
+
+- **Keyframes**: pose array ``[K, 7]`` + validity mask; slots are allocated
+  monotonically (the reference never deletes keyframes).
+- **Mappoints**: struct-of-arrays over a capacity-``C`` pool.  Slots of
+  outlier points are recycled (an outlier has zero observations by
+  construction - ``src/mappoint.cpp:39-49`` - so recycling is safe).
+- **Observations**: fixed ``[C, M]`` per-mappoint slots ``(kf, u, v, valid)``
+  - this serves triangulation and bundle adjustment directly.
+- **Covisibility** is *derived*, not stored: with the binary incidence
+  matrix ``A[K, C]`` (keyframe observes mappoint), the covisibility weight
+  matrix of ``Frame::allCovisibleKeyframeIdToWeight_`` (``frame.h:94``) is
+  exactly ``A @ A^T`` - one int8 matmul on the MXU replaces all of the
+  reference's incremental two-sided weight bookkeeping
+  (``src/frame.cpp:93-171``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from rgbd_visualodometry_tpu.config import VOConfig
+from rgbd_visualodometry_tpu.ops import se3
+
+# FSM codes (frontend.h:26-30)
+INITIALIZING = 0
+TRACKING = 1
+LOST = 2
+
+
+class VOState(NamedTuple):
+    # --- keyframes -------------------------------------------------------
+    kf_pose: jnp.ndarray  # [K, 7] T_c_w
+    kf_valid: jnp.ndarray  # [K] bool
+    kf_timestamp: jnp.ndarray  # [K] float64-as-f32 pair? stored f32
+    num_kf: jnp.ndarray  # scalar int32: next keyframe slot (monotonic)
+
+    # --- mappoints -------------------------------------------------------
+    mp_pos: jnp.ndarray  # [C, 3]
+    mp_desc: jnp.ndarray  # [C, 8] uint32 packed 256-bit descriptor
+    mp_bip: jnp.ndarray  # [C, 256] int8 bipolar descriptor (for matching)
+    mp_norm: jnp.ndarray  # [C, 3] mean viewing direction (mappoint.h:59-64)
+    mp_valid: jnp.ndarray  # [C] bool: slot allocated
+    mp_outlier: jnp.ndarray  # [C] bool (mappoint.h:32)
+    mp_triangulated: jnp.ndarray  # [C] bool (mappoint.h:23)
+    mp_optimized: jnp.ndarray  # [C] bool (mappoint.h:24)
+
+    # --- observations (per-mappoint slots) -------------------------------
+    obs_kf: jnp.ndarray  # [C, M] int32 keyframe slot, -1 = empty
+    obs_uv: jnp.ndarray  # [C, M, 2] float32 pixel position
+    obs_valid: jnp.ndarray  # [C, M] bool
+
+    # --- tracking bookkeeping -------------------------------------------
+    ref_kf: jnp.ndarray  # scalar int32: keyframeRef_ slot
+    prev_pose: jnp.ndarray  # [7] framePrev_ pose
+    fsm: jnp.ndarray  # scalar int32 INITIALIZING/TRACKING/LOST
+    lost_count: jnp.ndarray  # scalar int32 accuLostFrameNums_
+    frame_index: jnp.ndarray  # scalar int32
+    rng: jax.Array  # PRNG key for RANSAC sampling
+
+    @property
+    def mp_alive(self) -> jnp.ndarray:
+        """Allocated, non-outlier mappoints (the usable map)."""
+        return self.mp_valid & ~self.mp_outlier
+
+    @property
+    def mp_obs_count(self) -> jnp.ndarray:
+        return jnp.sum(self.obs_valid, axis=1).astype(jnp.int32)
+
+
+def init_state(cfg: VOConfig, seed: int = 0) -> VOState:
+    K, C, M = cfg.max_keyframes, cfg.max_mappoints, cfg.max_obs_per_mappoint
+    f32 = jnp.float32
+    return VOState(
+        kf_pose=jnp.tile(se3.identity(f32)[None], (K, 1)),
+        kf_valid=jnp.zeros(K, bool),
+        kf_timestamp=jnp.zeros(K, f32),
+        num_kf=jnp.int32(0),
+        mp_pos=jnp.zeros((C, 3), f32),
+        mp_desc=jnp.zeros((C, 8), jnp.uint32),
+        mp_bip=jnp.zeros((C, 256), jnp.int8),
+        mp_norm=jnp.zeros((C, 3), f32),
+        mp_valid=jnp.zeros(C, bool),
+        mp_outlier=jnp.zeros(C, bool),
+        mp_triangulated=jnp.zeros(C, bool),
+        mp_optimized=jnp.zeros(C, bool),
+        obs_kf=jnp.full((C, M), -1, jnp.int32),
+        obs_uv=jnp.zeros((C, M, 2), f32),
+        obs_valid=jnp.zeros((C, M), bool),
+        ref_kf=jnp.int32(0),
+        prev_pose=se3.identity(f32),
+        fsm=jnp.int32(INITIALIZING),
+        lost_count=jnp.int32(0),
+        frame_index=jnp.int32(0),
+        rng=jax.random.PRNGKey(seed),
+    )
+
+
+# ---------------------------------------------------------------------------
+# covisibility / tracking map (derived quantities)
+# ---------------------------------------------------------------------------
+
+
+def incidence(state: VOState) -> jnp.ndarray:
+    """A[K, C] int8: keyframe k observes mappoint c.
+
+    Built by scatter from the observation slots; rows of invalid keyframes
+    stay zero because empty slots carry kf = -1 (dropped by the clamp+guard).
+    """
+    K = state.kf_pose.shape[0]
+    C, M = state.obs_kf.shape
+    cols = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[:, None], (C, M))
+    rows = jnp.clip(state.obs_kf, 0, K - 1)
+    vals = state.obs_valid.astype(jnp.int8)
+    A = jnp.zeros((K, C), jnp.int8)
+    return A.at[rows.reshape(-1), cols.reshape(-1)].max(vals.reshape(-1))
+
+
+def covisibility_weights(A: jnp.ndarray) -> jnp.ndarray:
+    """W[K, K] int32 = A @ A^T: shared-observation counts - the weight map of
+    ``Frame::allCovisibleKeyframeIdToWeight_`` (``src/frame.cpp:110-117``)."""
+    return jax.lax.dot_general(
+        A, A, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+
+def active_covisible(state: VOState, A: jnp.ndarray, kf: jnp.ndarray, threshold: int) -> jnp.ndarray:
+    """[K] bool: keyframes sharing >= threshold observations with ``kf``,
+    *plus kf itself* (``mapmanager.cpp:17-19`` inserts the query keyframe).
+    Computed as one row of A @ A^T."""
+    K = A.shape[0]
+    row = jax.lax.dot_general(
+        A[kf].astype(jnp.int32), A.astype(jnp.int32),
+        dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    mask = (row >= threshold) & state.kf_valid
+    return mask.at[kf].set(True) if False else jnp.where(jnp.arange(K) == kf, True, mask) & state.kf_valid
+
+
+def tracking_map_mask(state: VOState, cfg: VOConfig) -> jnp.ndarray:
+    """[C] bool: the tracking map of ``MatchKeyPointsInTrackingMap``
+    (``src/frontend.cpp:156-166`` + ``src/mapmanager.cpp:14-38``):
+    non-outlier mappoints observed by the reference keyframe or its active
+    covisible keyframes; if fewer than ``tracking_map_min_points``, fall back
+    to the whole map."""
+    A = incidence(state)
+    kfs = active_covisible(state, A, state.ref_kf, cfg.covisibility_weight_threshold)
+    observed = (
+        jax.lax.dot_general(
+            kfs.astype(jnp.int32), A.astype(jnp.int32),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        > 0
+    )
+    local = observed & state.mp_alive
+    enough = jnp.sum(local) >= cfg.tracking_map_min_points
+    return jnp.where(enough, local, state.mp_alive)
+
+
+# ---------------------------------------------------------------------------
+# state updates (all pred-masked so they compose inside one jitted step)
+# ---------------------------------------------------------------------------
+
+
+def insert_keyframe(state: VOState, pose: jnp.ndarray, timestamp: jnp.ndarray, pred: jnp.ndarray):
+    """Masked equivalent of ``MapManager::InsertKeyframe``
+    (``mapmanager.h:28-33``).  Returns (state, slot)."""
+    slot = jnp.clip(state.num_kf, 0, state.kf_pose.shape[0] - 1)
+    upd = lambda arr, val: jnp.where(pred, arr.at[slot].set(val), arr)  # noqa: E731
+    state = state._replace(
+        kf_pose=jnp.where(pred, state.kf_pose.at[slot].set(pose), state.kf_pose),
+        kf_valid=jnp.where(pred, state.kf_valid.at[slot].set(True), state.kf_valid),
+        kf_timestamp=upd(state.kf_timestamp, timestamp),
+        num_kf=jnp.where(pred, state.num_kf + 1, state.num_kf),
+    )
+    return state, slot
+
+
+def add_observations(
+    state: VOState,
+    kf_slot: jnp.ndarray,
+    mp_mask: jnp.ndarray,  # [C] add an observation for these mappoints
+    uv: jnp.ndarray,  # [C, 2] pixel position per mappoint
+    cam_center: jnp.ndarray,  # [3] observing camera center (for norm update)
+    pred: jnp.ndarray,
+) -> VOState:
+    """Vectorized ``Frame::AddObservedMappoint`` (``src/frame.cpp:93-121``) +
+    ``Mappoint::AddObservedByKeyframe`` (``mappoint.h:59-64``) over the whole
+    pool at once.  Each selected mappoint gets its first free observation
+    slot; the viewing-direction normal is updated with the reference's
+    normalized running sum.  Covisibility needs no update here - it is
+    derived from the observation table (see :func:`covisibility_weights`).
+    """
+    C, M = state.obs_kf.shape
+    mp_mask = mp_mask & pred
+    free = ~state.obs_valid  # [C, M]
+    has_free = jnp.any(free, axis=1)
+    first_free = jnp.argmax(free, axis=1)  # first True (0 if none - guarded)
+    do = mp_mask & has_free
+    one_hot = jax.nn.one_hot(first_free, M, dtype=bool) & do[:, None]
+
+    obs_kf = jnp.where(one_hot, kf_slot, state.obs_kf)
+    obs_uv = jnp.where(one_hot[..., None], uv[:, None, :], state.obs_uv)
+    obs_valid = state.obs_valid | one_hot
+
+    # norm_ = normalize(norm_ + normalize(pos - camCenter))  (mappoint.h:63)
+    d = state.mp_pos - cam_center[None, :]
+    d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+    new_norm = state.mp_norm + d
+    new_norm = new_norm / jnp.maximum(
+        jnp.linalg.norm(new_norm, axis=-1, keepdims=True), 1e-12
+    )
+    mp_norm = jnp.where(do[:, None], new_norm, state.mp_norm)
+
+    return state._replace(obs_kf=obs_kf, obs_uv=obs_uv, obs_valid=obs_valid, mp_norm=mp_norm)
+
+
+def create_mappoints(
+    state: VOState,
+    kf_slot: jnp.ndarray,
+    positions: jnp.ndarray,  # [N, 3] world positions
+    desc: jnp.ndarray,  # [N, 8] uint32
+    bip: jnp.ndarray,  # [N, 256] int8
+    uv: jnp.ndarray,  # [N, 2] observing pixel
+    create_mask: jnp.ndarray,  # [N] bool
+    cam_center: jnp.ndarray,  # [3]
+    pred: jnp.ndarray,
+) -> VOState:
+    """Vectorized ``FrontEnd::CreateNewMappoints`` (``src/frontend.cpp:372-406``):
+    allocate pool slots (recycling outlier slots), write position/descriptor,
+    and register the creating keyframe as first observer.
+    """
+    C, M = state.obs_kf.shape
+    N = positions.shape[0]
+    create_mask = create_mask & pred
+
+    free_mask = ~state.mp_valid | state.mp_outlier
+    # rank of each new point among those being created
+    rank = jnp.cumsum(create_mask.astype(jnp.int32)) - 1  # [N]
+    # the rank-th free slot: compact free slots (ascending index)
+    from rgbd_visualodometry_tpu.ops.packing import compact_indices
+
+    free_idx, free_ok = compact_indices(free_mask, N)
+    slot = jnp.take(free_idx, jnp.clip(rank, 0, N - 1))  # [N]
+    ok = create_mask & jnp.take(free_ok, jnp.clip(rank, 0, N - 1))
+
+    # first observation: viewing normal = normalize(pos - center) since the
+    # stored norm starts at zero (mappoint.cpp:36-38 + mappoint.h:63)
+    d = positions - cam_center[None, :]
+    d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+
+    tgt = jnp.where(ok, slot, C)  # out-of-range drops the write
+    obs_kf_row = jnp.full((N, M), -1, jnp.int32).at[:, 0].set(kf_slot)
+    obs_uv_row = jnp.zeros((N, M, 2), jnp.float32).at[:, 0, :].set(uv)
+    obs_valid_row = jnp.zeros((N, M), bool).at[:, 0].set(True)
+
+    return state._replace(
+        mp_pos=state.mp_pos.at[tgt].set(positions, mode="drop"),
+        mp_desc=state.mp_desc.at[tgt].set(desc, mode="drop"),
+        mp_bip=state.mp_bip.at[tgt].set(bip, mode="drop"),
+        mp_norm=state.mp_norm.at[tgt].set(d, mode="drop"),
+        mp_valid=state.mp_valid.at[tgt].set(True, mode="drop"),
+        mp_outlier=state.mp_outlier.at[tgt].set(False, mode="drop"),
+        mp_triangulated=state.mp_triangulated.at[tgt].set(False, mode="drop"),
+        mp_optimized=state.mp_optimized.at[tgt].set(False, mode="drop"),
+        obs_kf=state.obs_kf.at[tgt].set(obs_kf_row, mode="drop"),
+        obs_uv=state.obs_uv.at[tgt].set(obs_uv_row, mode="drop"),
+        obs_valid=state.obs_valid.at[tgt].set(obs_valid_row, mode="drop"),
+    )
+
+
+def remove_observations(state: VOState, rm_mask: jnp.ndarray) -> VOState:
+    """Vectorized ``Frame::RemoveObservedMappoint`` + outlier marking
+    (``src/frame.cpp:123-154``, ``src/mappoint.cpp:39-49``): clear the given
+    observation slots; mappoints whose observation count drops to zero become
+    outliers (and their slot becomes recyclable)."""
+    obs_valid = state.obs_valid & ~rm_mask
+    count = jnp.sum(obs_valid, axis=1)
+    outlier = state.mp_outlier | (state.mp_valid & (count == 0))
+    return state._replace(obs_valid=obs_valid, mp_outlier=outlier)

@@ -1,0 +1,82 @@
+"""Exact Hamming descriptor matching on the MXU.
+
+TPU-native replacement for ``cv::FlannBasedMatcher(LshIndexParams(5,10,2))``
+(reference ``src/frontend.cpp:33,186-215``).  The LSH index is an
+*approximate* nearest-neighbor structure; on TPU we can afford the exact
+brute-force search: with descriptors stored as bipolar int8 vectors in
+{-1,+1}^256, the Hamming distance is an affine function of the dot product,
+
+    hamming(a, b) = (256 - <a_bip, b_bip>) / 2,
+
+so the whole (candidates x keypoints) distance matrix is one int8 matmul on
+the systolic array - exactness replaces approximation at lower cost.
+
+The distance filter keeps the reference's rule: a match survives iff
+``dist <= max(min_dist * match_ratio, 30)`` (``src/frontend.cpp:190-211``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+BIG = jnp.int32(1 << 20)
+
+
+def hamming_matrix(a_bip: jnp.ndarray, b_bip: jnp.ndarray) -> jnp.ndarray:
+    """[M, 256] x [N, 256] bipolar int8 -> [M, N] int32 Hamming distances.
+
+    Rows/columns whose descriptor is all-zero (invalid lanes) yield 128 -
+    callers mask with validity flags.
+    """
+    dot = jax.lax.dot_general(
+        a_bip,
+        b_bip,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    nbits = a_bip.shape[-1]
+    return (nbits - dot) // 2
+
+
+class MatchResult(NamedTuple):
+    """Per-candidate best match (the ``flannMatchedMptKptMap_`` analogue)."""
+
+    matched: jnp.ndarray  # [M] bool - survives the distance filter
+    kp_index: jnp.ndarray  # [M] int32 - best current-frame keypoint per candidate
+    distance: jnp.ndarray  # [M] int32 - Hamming distance of that match
+    min_distance: jnp.ndarray  # scalar int32 - best distance over all candidates
+
+
+def match_descriptors(
+    cand_bip: jnp.ndarray,
+    cand_mask: jnp.ndarray,
+    kp_bip: jnp.ndarray,
+    kp_mask: jnp.ndarray,
+    match_ratio: float = 2.0,
+    min_match_distance: float = 30.0,
+) -> MatchResult:
+    """For every valid candidate descriptor, find its nearest valid current
+    keypoint and apply the reference's adaptive distance gate.
+
+    Query/train orientation matches ``flannMatcher_.match(candidateDescs,
+    currDescs)`` (``src/frontend.cpp:187``): candidates are rows, one best
+    keypoint per candidate; several candidates may share a keypoint, exactly
+    like the reference's map-of-sets.
+    """
+    d = hamming_matrix(cand_bip, kp_bip)
+    d = jnp.where(kp_mask[None, :], d, BIG)
+    best_kp = jnp.argmin(d, axis=1).astype(jnp.int32)
+    best_d = jnp.min(d, axis=1)
+
+    row_ok = cand_mask & (best_d < BIG)
+    min_dis = jnp.min(jnp.where(row_ok, best_d, BIG))
+    max_dis = jnp.maximum(
+        min_dis.astype(jnp.float32) * match_ratio, min_match_distance
+    )
+    matched = row_ok & (best_d.astype(jnp.float32) <= max_dis)
+    return MatchResult(
+        matched=matched, kp_index=best_kp, distance=best_d, min_distance=min_dis
+    )

@@ -1,0 +1,41 @@
+"""Mask -> fixed-size index compaction.
+
+The recurring TPU pattern in this framework: a data-dependent subset (matched
+candidates, BA edges, window mappoints, ...) is turned into a *fixed-capacity*
+packed index list plus a validity mask, so every downstream kernel keeps
+static shapes.  This is the structural replacement for the reference's
+dynamically-sized ``std::vector`` / ``unordered_map`` collections (e.g.
+``mptCandidates`` at ``src/frontend.cpp:171-184``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def compact_indices(mask: jnp.ndarray, k: int):
+    """Pack the indices where ``mask`` is True into ``k`` slots.
+
+    Returns ``(indices int32 [k], valid bool [k])``.  The first
+    ``min(count, k)`` slots hold the lowest True indices in ascending order;
+    remaining slots point at index 0 with ``valid=False`` (safe to gather).
+    If more than ``k`` entries are set, the excess is dropped (callers size
+    ``k`` generously and may log the overflow).
+    """
+    n = mask.shape[0]
+    # key: valid entries first, each group in ascending index order
+    order_key = jnp.where(mask, jnp.arange(n), n + jnp.arange(n))
+    _, idx = jax.lax.top_k(-order_key, k)
+    valid = jnp.take(mask, idx)
+    return jnp.where(valid, idx, 0).astype(jnp.int32), valid
+
+
+def scatter_back(mask_size: int, indices: jnp.ndarray, values: jnp.ndarray):
+    """Scatter packed boolean ``values [k]`` back to a full-size mask.
+
+    Invalid slots must carry ``values=False`` (index 0 collisions are then
+    harmless because scatter uses OR semantics via max).
+    """
+    out = jnp.zeros(mask_size, dtype=bool)
+    return out.at[indices].max(values)

@@ -1,0 +1,61 @@
+"""Batched DLT triangulation with SVD quality gate.
+
+TPU-native equivalent of ``myslam::Triangulation``
+(``include/myslam/util.h:16-34``): for each landmark, stack two rows per
+observation
+
+    A[2i]   = x_i * P_i.row(2) - P_i.row(0)
+    A[2i+1] = y_i * P_i.row(2) - P_i.row(1)
+
+where ``P_i`` is the 3x4 pose matrix and ``(x_i, y_i)`` the normalized-plane
+observation, then take the right singular vector of the smallest singular
+value.  Success requires ``sigma_last / sigma_second_last < 1e-2`` (the gate
+at ``util.h:30-33``).
+
+Instead of one SVD per point in a loop, the whole mappoint batch is
+triangulated at once: observations are padded to a fixed ``max_obs`` (padded
+rows are zero, which leaves the normal equations untouched), giving one
+batched SVD of shape ``[B, 2*max_obs, 4]``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from rgbd_visualodometry_tpu.ops import se3
+
+
+class TriangulationResult(NamedTuple):
+    points: jnp.ndarray  # [B, 3] world positions
+    ok: jnp.ndarray  # [B] bool - gate passed and >= 2 observations
+
+
+def triangulate(
+    poses: jnp.ndarray,  # [B, K, 7] observing keyframe poses (T_c_w)
+    norm_xy: jnp.ndarray,  # [B, K, 2] normalized-plane observations
+    obs_mask: jnp.ndarray,  # [B, K] bool
+    sv_ratio: float = 1e-2,
+    min_obs: int = 2,
+) -> TriangulationResult:
+    P = se3.to_matrix34(poses)  # [B, K, 3, 4]
+    x = norm_xy[..., 0:1]
+    y = norm_xy[..., 1:2]
+    row0 = x * P[..., 2, :] - P[..., 0, :]  # [B, K, 4]
+    row1 = y * P[..., 2, :] - P[..., 1, :]
+    A = jnp.concatenate([row0, row1], axis=-2)  # [B, 2K, 4]
+    A = A * jnp.concatenate([obs_mask, obs_mask], axis=-1)[..., None]
+
+    _, s, vt = jnp.linalg.svd(A, full_matrices=False)  # s: [B, 4], vt: [B, 4, 4]
+    v_last = vt[..., 3, :]  # [B, 4]
+    w = v_last[..., 3]
+    pts = v_last[..., :3] / jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)[..., None]
+
+    # sigma_last/sigma_second < ratio (util.h:30-33), in multiply form, plus
+    # a conditioning floor: a rank-<3 system (e.g. zero baseline) has BOTH
+    # sigma_3 and sigma_4 at float-noise level, where the reference's ratio
+    # is numerically meaningless garbage - require genuine rank 3
+    quality = (s[..., 3] < sv_ratio * s[..., 2]) & (s[..., 2] > 1e-5 * s[..., 0])
+    enough = jnp.sum(obs_mask, axis=-1) >= min_obs
+    return TriangulationResult(points=pts, ok=quality & enough)

@@ -1,0 +1,88 @@
+"""Hamming matching tests: MXU-matmul distances vs a numpy popcount oracle,
+and the reference's adaptive distance filter (src/frontend.cpp:190-211)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from rgbd_visualodometry_tpu.ops import matching, packing
+
+
+def random_descs(rng, n):
+    bits = rng.integers(0, 2, (n, 256)).astype(np.int8)
+    bipolar = bits * 2 - 1
+    return bits, bipolar
+
+
+def numpy_hamming(bits_a, bits_b):
+    return (bits_a[:, None, :] != bits_b[None, :, :]).sum(axis=2)
+
+
+def test_hamming_matches_popcount_oracle():
+    rng = np.random.default_rng(0)
+    ba, pa = random_descs(rng, 37)
+    bb, pb = random_descs(rng, 53)
+    d = np.asarray(matching.hamming_matrix(jnp.asarray(pa), jnp.asarray(pb)))
+    np.testing.assert_array_equal(d, numpy_hamming(ba, bb))
+
+
+def test_match_filter_semantics():
+    rng = np.random.default_rng(1)
+    bits, bip = random_descs(rng, 10)
+    # candidates: 0 and 1 perturbed by 5 and 40 bits, 2 unrelated
+    cand_bits = bits[:3].copy()
+    cand_bits[0, :5] ^= 1
+    cand_bits[1, :40] ^= 1
+    cand_bip = (cand_bits * 2 - 1).astype(np.int8)
+
+    res = matching.match_descriptors(
+        jnp.asarray(cand_bip),
+        jnp.ones(3, bool),
+        jnp.asarray(bip),
+        jnp.ones(10, bool),
+        match_ratio=2.0,
+        min_match_distance=30.0,
+    )
+    # candidate 2 is exactly bits[2] -> min over candidates is 0
+    assert int(res.min_distance) == 0
+    # gate = max(0 * 2, 30) = 30: candidate 0 (d=5) passes, candidate 1
+    # (d=40) fails, candidate 2 (d=0) passes
+    assert bool(res.matched[0])
+    assert int(res.kp_index[0]) == 0
+    assert not bool(res.matched[1])
+    assert bool(res.matched[2]) and int(res.distance[2]) == 0
+
+
+def test_match_masks():
+    rng = np.random.default_rng(2)
+    _, bip = random_descs(rng, 8)
+    cand_mask = jnp.asarray([True, False, True, True, True, True, True, True])
+    kp_mask = jnp.zeros(8, bool).at[jnp.arange(4)].set(True)
+    res = matching.match_descriptors(
+        jnp.asarray(bip), cand_mask, jnp.asarray(bip), kp_mask
+    )
+    # masked-out candidate can never match
+    assert not bool(res.matched[1])
+    # all matches point at unmasked keypoints
+    assert all(int(k) < 4 for k in np.asarray(res.kp_index)[np.asarray(res.matched)])
+    # identity matches for the first 4 (distance 0)
+    assert bool(res.matched[0]) and int(res.kp_index[0]) == 0
+
+
+def test_compact_indices():
+    mask = jnp.asarray([False, True, False, True, True, False, False, True])
+    idx, valid = packing.compact_indices(mask, 3)
+    np.testing.assert_array_equal(np.asarray(idx), [1, 3, 4])  # overflow drops 7
+    assert all(np.asarray(valid))
+    idx2, valid2 = packing.compact_indices(mask, 6)
+    np.testing.assert_array_equal(np.asarray(idx2)[:4], [1, 3, 4, 7])
+    np.testing.assert_array_equal(np.asarray(valid2), [1, 1, 1, 1, 0, 0])
+    # scatter roundtrip
+    back = packing.scatter_back(8, idx2, valid2)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(mask))
+
+
+def test_compact_indices_empty():
+    mask = jnp.zeros(16, bool)
+    idx, valid = packing.compact_indices(mask, 4)
+    assert not np.asarray(valid).any()
+    assert (np.asarray(idx) == 0).all()
