@@ -64,6 +64,10 @@ class VOConfig:
     #      `ransac_hypotheses` lanes in parallel. ----
     ransac_hypotheses: int = 128
     ransac_reproj_threshold: float = 4.0
+    # fixed capacity for packed matched-correspondence slots fed to
+    # RANSAC/LM (the reference's dynamically-sized pts3d/pts2d vectors,
+    # src/frontend.cpp:219-230)
+    pnp_max_points: int = 1024
 
     # ---- pose-only BA (src/frontend.cpp:256-312) ----
     huber_delta: float = math.sqrt(7.815)
@@ -72,6 +76,14 @@ class VOConfig:
 
     # ---- local BA backend (src/backend.cpp:19-195) ----
     ba_iterations: int = 10  # per round; two rounds with pruning in between
+    # Depth-prior edges: each observation with a measured sensor depth adds a
+    # residual (depth_measured - z_camera), weighted as pixel-equivalent
+    # (fx/z)^2 * ba_depth_weight.  This anchors the metric scale that pure
+    # reprojection BA leaves as a gauge freedom (the reference's g2o backend
+    # never uses the depth channel and silently has this freedom too).
+    # Set False for strict reference-parity behavior.
+    ba_use_depth_prior: bool = True
+    ba_depth_weight: float = 0.5
     ba_max_poses: int = 16  # covisible-window pose capacity (padded)
     ba_max_points: int = 8192  # mappoint capacity inside one BA solve
     ba_max_edges: int = 16384  # observation-edge capacity inside one BA solve
@@ -92,6 +104,7 @@ class VOConfig:
     # ---- triangulation (util.h:16-34, frontend.cpp:465-506) ----
     triangulation_min_obs: int = 2
     triangulation_sv_ratio: float = 1e-2
+    triangulation_batch: int = 1024  # mappoints triangulated per keyframe
     # the reference `break`s after the first successful triangulation per
     # keyframe (frontend.cpp:501); set True only for strict parity runs
     compat_single_triangulation: bool = False

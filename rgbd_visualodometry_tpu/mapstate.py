@@ -61,6 +61,7 @@ class VOState(NamedTuple):
     # --- observations (per-mappoint slots) -------------------------------
     obs_kf: jnp.ndarray  # [C, M] int32 keyframe slot, -1 = empty
     obs_uv: jnp.ndarray  # [C, M, 2] float32 pixel position
+    obs_depth: jnp.ndarray  # [C, M] float32 measured depth in meters (0 = none)
     obs_valid: jnp.ndarray  # [C, M] bool
 
     # --- tracking bookkeeping -------------------------------------------
@@ -99,6 +100,7 @@ def init_state(cfg: VOConfig, seed: int = 0) -> VOState:
         mp_optimized=jnp.zeros(C, bool),
         obs_kf=jnp.full((C, M), -1, jnp.int32),
         obs_uv=jnp.zeros((C, M, 2), f32),
+        obs_depth=jnp.zeros((C, M), f32),
         obs_valid=jnp.zeros((C, M), bool),
         ref_kf=jnp.int32(0),
         prev_pose=se3.identity(f32),
@@ -148,8 +150,8 @@ def active_covisible(state: VOState, A: jnp.ndarray, kf: jnp.ndarray, threshold:
         dimension_numbers=(((0,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    mask = (row >= threshold) & state.kf_valid
-    return mask.at[kf].set(True) if False else jnp.where(jnp.arange(K) == kf, True, mask) & state.kf_valid
+    mask = (row >= threshold) | (jnp.arange(K) == kf)
+    return mask & state.kf_valid
 
 
 def tracking_map_mask(state: VOState, cfg: VOConfig) -> jnp.ndarray:
@@ -180,7 +182,9 @@ def tracking_map_mask(state: VOState, cfg: VOConfig) -> jnp.ndarray:
 
 def insert_keyframe(state: VOState, pose: jnp.ndarray, timestamp: jnp.ndarray, pred: jnp.ndarray):
     """Masked equivalent of ``MapManager::InsertKeyframe``
-    (``mapmanager.h:28-33``).  Returns (state, slot)."""
+    (``mapmanager.h:28-33``).  Returns (state, slot).  A full pool silently
+    refuses the insert (capacity is sized for whole TUM sequences)."""
+    pred = pred & (state.num_kf < state.kf_pose.shape[0])
     slot = jnp.clip(state.num_kf, 0, state.kf_pose.shape[0] - 1)
     upd = lambda arr, val: jnp.where(pred, arr.at[slot].set(val), arr)  # noqa: E731
     state = state._replace(
@@ -199,6 +203,7 @@ def add_observations(
     uv: jnp.ndarray,  # [C, 2] pixel position per mappoint
     cam_center: jnp.ndarray,  # [3] observing camera center (for norm update)
     pred: jnp.ndarray,
+    depth: jnp.ndarray | None = None,  # [C] measured depth at the pixel (m)
 ) -> VOState:
     """Vectorized ``Frame::AddObservedMappoint`` (``src/frame.cpp:93-121``) +
     ``Mappoint::AddObservedByKeyframe`` (``mappoint.h:59-64``) over the whole
@@ -217,6 +222,9 @@ def add_observations(
 
     obs_kf = jnp.where(one_hot, kf_slot, state.obs_kf)
     obs_uv = jnp.where(one_hot[..., None], uv[:, None, :], state.obs_uv)
+    if depth is None:
+        depth = jnp.zeros(C, jnp.float32)
+    obs_depth = jnp.where(one_hot, depth[:, None], state.obs_depth)
     obs_valid = state.obs_valid | one_hot
 
     # norm_ = normalize(norm_ + normalize(pos - camCenter))  (mappoint.h:63)
@@ -228,7 +236,9 @@ def add_observations(
     )
     mp_norm = jnp.where(do[:, None], new_norm, state.mp_norm)
 
-    return state._replace(obs_kf=obs_kf, obs_uv=obs_uv, obs_valid=obs_valid, mp_norm=mp_norm)
+    return state._replace(
+        obs_kf=obs_kf, obs_uv=obs_uv, obs_depth=obs_depth, obs_valid=obs_valid, mp_norm=mp_norm
+    )
 
 
 def create_mappoints(
@@ -241,6 +251,7 @@ def create_mappoints(
     create_mask: jnp.ndarray,  # [N] bool
     cam_center: jnp.ndarray,  # [3]
     pred: jnp.ndarray,
+    depth: jnp.ndarray | None = None,  # [N] measured depth at the pixel (m)
 ) -> VOState:
     """Vectorized ``FrontEnd::CreateNewMappoints`` (``src/frontend.cpp:372-406``):
     allocate pool slots (recycling outlier slots), write position/descriptor,
@@ -268,6 +279,9 @@ def create_mappoints(
     tgt = jnp.where(ok, slot, C)  # out-of-range drops the write
     obs_kf_row = jnp.full((N, M), -1, jnp.int32).at[:, 0].set(kf_slot)
     obs_uv_row = jnp.zeros((N, M, 2), jnp.float32).at[:, 0, :].set(uv)
+    if depth is None:
+        depth = jnp.zeros(N, jnp.float32)
+    obs_depth_row = jnp.zeros((N, M), jnp.float32).at[:, 0].set(depth)
     obs_valid_row = jnp.zeros((N, M), bool).at[:, 0].set(True)
 
     return state._replace(
@@ -281,6 +295,7 @@ def create_mappoints(
         mp_optimized=state.mp_optimized.at[tgt].set(False, mode="drop"),
         obs_kf=state.obs_kf.at[tgt].set(obs_kf_row, mode="drop"),
         obs_uv=state.obs_uv.at[tgt].set(obs_uv_row, mode="drop"),
+        obs_depth=state.obs_depth.at[tgt].set(obs_depth_row, mode="drop"),
         obs_valid=state.obs_valid.at[tgt].set(obs_valid_row, mode="drop"),
     )
 

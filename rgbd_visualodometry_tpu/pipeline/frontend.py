@@ -1,0 +1,239 @@
+"""The per-frame tracking step - one jitted, statically-shaped program.
+
+TPU-native redesign of ``FrontEnd::AddFrame`` and its handlers
+(``src/frontend.cpp:45-144``).  The reference's 3-state FSM
+(INITIALIZING / TRACKING / LOST, ``frontend.h:26-30``) lives as an integer
+in the state carry; branchy decisions (keyframe insertion, map growth,
+lost handling) become predicate-masked state updates so the whole step is a
+single XLA program - compiled once, no shape- or branch-dependent recompiles.
+
+Pipeline per frame (mirroring the call stack in SURVEY.md section 3.2):
+
+1. ORB extraction (``ops.orb``) - replaces ``orb_->detectAndCompute``.
+2. Depth lookup + back-projection for all keypoints.
+3. Coarse round: tracking-map candidates -> frustum/angle filter -> Hamming
+   match -> RANSAC + two-round LM  (``frontend.cpp:100-103``).
+4. Fine round: same again with the updated pose (``frontend.cpp:105-108``).
+5. Quality gate (``IsGoodEstimation``, ``frontend.cpp:334-351``) and lost
+   bookkeeping.
+6. Keyframe policy (``IsKeyframe``, ``frontend.cpp:353-364``); on keyframe:
+   insert, add PnP-inlier observations, create new mappoints from depth,
+   triangulate tracking-map points (``frontend.cpp:126-138``).
+7. The local-BA request is returned as a flag (``needs_ba``); the host
+   dispatches the backend step asynchronously, preserving the reference's
+   "backend woken per keyframe" design (``backend.h:33-37``) without threads.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from rgbd_visualodometry_tpu import camera as cam_mod
+from rgbd_visualodometry_tpu import mapstate
+from rgbd_visualodometry_tpu.config import VOConfig
+from rgbd_visualodometry_tpu.mapstate import INITIALIZING, LOST, TRACKING, VOState
+from rgbd_visualodometry_tpu.ops import depth as depth_mod
+from rgbd_visualodometry_tpu.ops import image as im
+from rgbd_visualodometry_tpu.ops import lm, matching, orb, packing, pnp, se3, triangulate
+
+
+class FrameInput(NamedTuple):
+    rgb: jnp.ndarray  # [H, W, 3] uint8
+    depth: jnp.ndarray  # [H, W] uint16 raw depth
+    timestamp: jnp.ndarray  # scalar float32
+
+
+class StepOutput(NamedTuple):
+    pose_c_w: jnp.ndarray  # [7] estimated T_c_w of this frame
+    pose_w_c: jnp.ndarray  # [7] inverse - what run_vo writes (run_vo.cpp:116)
+    tracked: jnp.ndarray  # bool - the AddFrame return value
+    fsm: jnp.ndarray  # int32 state AFTER this frame
+    is_keyframe: jnp.ndarray  # bool
+    needs_ba: jnp.ndarray  # bool - host should dispatch local BA
+    kf_slot: jnp.ndarray  # int32 slot of the inserted keyframe (if any)
+    # stage counters mirroring the reference's stdout logs (SURVEY.md sec. 5)
+    num_candidates: jnp.ndarray  # mptCandidates.size()
+    num_matches: jnp.ndarray  # flannMatchedMptKptMap_.size()
+    num_inliers: jnp.ndarray  # RANSAC inliers (numInliers_)
+    num_final_inliers: jnp.ndarray  # post-BA chi2 inliers
+    num_new_mappoints: jnp.ndarray  # CreateNewMappoints count
+    num_triangulated: jnp.ndarray  # TriangulateMappointsInTrackingMap count
+    num_keyframes: jnp.ndarray
+    num_mappoints: jnp.ndarray
+
+
+def _match_and_estimate(cfg: VOConfig, camera, state: VOState, feats, kp_cam, dep, tmap, pose, key):
+    """One coarse-or-fine round: candidates -> match -> RANSAC -> LM.
+
+    The reference runs this twice per frame (``frontend.cpp:100-108``); the
+    second round benefits from the refreshed pose in the frustum filter.
+    """
+    observable = cam_mod.in_frustum(
+        camera, state.mp_pos, pose, state.mp_norm, cfg.max_observe_angle
+    )
+    cand = tmap & observable  # outliers already excluded from tmap
+    mres = matching.match_descriptors(
+        state.mp_bip, cand, feats.desc_bipolar, feats.valid,
+        cfg.match_ratio, cfg.min_match_distance,
+    )
+    midx, mval = packing.compact_indices(mres.matched, cfg.pnp_max_points)
+    p_w = jnp.take(state.mp_pos, midx, axis=0)
+    kpi = jnp.take(mres.kp_index, midx)
+    uv = jnp.take(feats.xy, kpi, axis=0)
+    p_cam = jnp.take(kp_cam, kpi, axis=0)
+    d_ok = jnp.take(dep.valid, kpi) & mval
+
+    rr = pnp.ransac_pnp(
+        key, p_w, uv, p_cam, d_ok, mval, pose, camera,
+        cfg.ransac_hypotheses, cfg.ransac_reproj_threshold,
+    )
+    ref = lm.refine_pose(
+        rr.pose, p_w, uv, rr.inliers & mval, camera,
+        cfg.pose_ba_iterations, cfg.huber_delta, cfg.pose_chi2_outlier,
+    )
+    info = dict(
+        midx=midx, mval=mval, kpi=kpi, uv=uv, rr=rr, ref=ref,
+        n_cand=jnp.sum(cand).astype(jnp.int32),
+        n_match=jnp.sum(mres.matched).astype(jnp.int32),
+    )
+    return ref.pose, info
+
+
+def track_step(cfg: VOConfig, camera, state: VOState, frame: FrameInput):
+    """(state, frame) -> (state, StepOutput).  Pure; jit with cfg static."""
+    C = cfg.max_mappoints
+    N = cfg.number_of_features
+
+    gray = im.rgb_to_gray(frame.rgb)
+    feats = orb.extract(
+        gray,
+        nfeatures=N,
+        nlevels=cfg.level_pyramid,
+        scale=cfg.scale_factor,
+        threshold=float(cfg.fast_threshold),
+        border=cfg.edge_threshold,
+    )
+    dep = depth_mod.lookup_depth(frame.depth, feats.xy, camera.depth_scale)
+    kp_cam = cam_mod.pixel2camera(camera, feats.xy, dep.depth)
+
+    is_init = state.fsm == INITIALIZING
+    is_tracking = state.fsm == TRACKING
+
+    rng, k1, k2 = jax.random.split(state.rng, 3)
+    state = state._replace(rng=rng)
+
+    # ---- coarse + fine pose estimation (masked no-op while INITIALIZING:
+    # the empty candidate set makes LM a fixed point of the seed pose) ------
+    tmap = mapstate.tracking_map_mask(state, cfg)
+    pose_c, _ = _match_and_estimate(cfg, camera, state, feats, kp_cam, dep, tmap, state.prev_pose, k1)
+    pose_f, info = _match_and_estimate(cfg, camera, state, feats, kp_cam, dep, tmap, pose_c, k2)
+
+    # ---- quality gate (IsGoodEstimation, frontend.cpp:334-351) -----------
+    rel = se3.log(se3.relative(state.prev_pose, pose_f))
+    motion_ok = jnp.linalg.norm(rel) <= cfg.max_motion_norm
+    enough_inliers = info["rr"].num_inliers >= cfg.min_inliers
+    good = is_tracking & enough_inliers & motion_ok
+
+    lost_inc = 2 if cfg.compat_double_lost_increment else 1
+    lost_count = jnp.where(
+        good | is_init, 0, jnp.where(is_tracking, state.lost_count + lost_inc, state.lost_count)
+    )
+    fsm = jnp.where(
+        is_init,
+        TRACKING,
+        jnp.where(is_tracking & ~good & (lost_count > cfg.max_num_lost), LOST, state.fsm),
+    )
+
+    # ---- keyframe policy (IsKeyframe, frontend.cpp:353-364) --------------
+    trans_norm = jnp.linalg.norm(rel[:3])
+    rot_norm = jnp.linalg.norm(rel[3:])
+    is_kf = good & ((rot_norm > cfg.keyframe_rotation) | (trans_norm > cfg.keyframe_translation))
+    do_insert = is_init | is_kf
+
+    pose_used = jnp.where(is_init, se3.identity(jnp.float32), pose_f)
+    cam_center = cam_mod.camera_center(pose_used)
+
+    state, kf_slot = mapstate.insert_keyframe(state, pose_used, frame.timestamp, do_insert)
+
+    # ---- observations of PnP inliers (AddCurrentKeyframeObservations,
+    # frontend.cpp:366-370: the post-BA chi2 inlier set with matched pixel) -
+    inlier_packed = info["ref"].inliers & info["mval"]
+    inlier_mp = packing.scatter_back(C, info["midx"], inlier_packed)
+    tgt = jnp.where(inlier_packed, info["midx"], C)  # drop invalid writes
+    uv_for_mp = jnp.zeros((C, 2), jnp.float32).at[tgt].set(info["uv"], mode="drop")
+    kp_depth = jnp.take(dep.depth, info["kpi"]) * jnp.take(dep.valid, info["kpi"])
+    depth_for_mp = jnp.zeros(C, jnp.float32).at[tgt].set(kp_depth, mode="drop")
+    state = mapstate.add_observations(
+        state, kf_slot, inlier_mp, uv_for_mp, cam_center, is_kf, depth=depth_for_mp
+    )
+
+    # ---- new mappoints from depth (CreateNewMappoints,
+    # frontend.cpp:372-406): unmatched keypoints with valid depth -----------
+    matched_kp = jnp.zeros(N, bool).at[info["kpi"]].max(inlier_packed)
+    create_mask = feats.valid & dep.valid & ~(matched_kp & ~is_init)
+    p_world_new = cam_mod.pixel2world(camera, feats.xy, pose_used, dep.depth)
+    n_created = jnp.sum(create_mask & do_insert).astype(jnp.int32)
+    state = mapstate.create_mappoints(
+        state, kf_slot, p_world_new, feats.desc, feats.desc_bipolar, feats.xy,
+        create_mask, cam_center, do_insert, depth=dep.depth,
+    )
+
+    # ---- triangulation refinement (TriangulateMappointsInTrackingMap,
+    # frontend.cpp:465-506) over tracking-map inliers not yet refined ------
+    tri_cand = (
+        tmap
+        & inlier_mp
+        & ~state.mp_triangulated
+        & ~state.mp_optimized
+        & ~state.mp_outlier
+    )
+    tidx, tval = packing.compact_indices(tri_cand, cfg.triangulation_batch)
+    obs_kf = jnp.take(state.obs_kf, tidx, axis=0)  # [B, M]
+    obs_uv = jnp.take(state.obs_uv, tidx, axis=0)
+    obs_ok = jnp.take(state.obs_valid, tidx, axis=0) & tval[:, None]
+    poses_obs = jnp.take(state.kf_pose, jnp.clip(obs_kf, 0, None), axis=0)  # [B, M, 7]
+    norm_xy = cam_mod.pixel2camera(camera, obs_uv, 1.0)[..., :2]
+    tri = triangulate.triangulate(
+        poses_obs, norm_xy, obs_ok, cfg.triangulation_sv_ratio, cfg.triangulation_min_obs
+    )
+    tri_ok = tval & tri.ok & (tri.points[:, 2] > 0) & is_kf  # pworld[2] > 0 check
+    if cfg.compat_single_triangulation:
+        # the reference `break`s after the first success (frontend.cpp:501)
+        tri_ok = tri_ok & (jnp.cumsum(tri_ok.astype(jnp.int32)) == 1)
+    ttgt = jnp.where(tri_ok, tidx, C)
+    state = state._replace(
+        mp_pos=state.mp_pos.at[ttgt].set(tri.points, mode="drop"),
+        mp_triangulated=state.mp_triangulated.at[ttgt].set(True, mode="drop"),
+    )
+
+    # ---- bookkeeping: framePrev_/keyframeRef_ only advance on keyframes
+    # (frontend.cpp:140-141 runs after the IsKeyframe early-return) ---------
+    state = state._replace(
+        prev_pose=jnp.where(do_insert, pose_used, state.prev_pose),
+        ref_kf=jnp.where(do_insert, kf_slot, state.ref_kf),
+        fsm=fsm,
+        lost_count=lost_count,
+        frame_index=state.frame_index + 1,
+    )
+
+    out = StepOutput(
+        pose_c_w=pose_used,
+        pose_w_c=se3.inverse(pose_used),
+        tracked=good | is_init,
+        fsm=fsm,
+        is_keyframe=is_kf,
+        needs_ba=is_kf & bool(cfg.enable_local_optimization),
+        kf_slot=kf_slot,
+        num_candidates=info["n_cand"],
+        num_matches=info["n_match"],
+        num_inliers=info["rr"].num_inliers,
+        num_final_inliers=info["ref"].num_final_inliers,
+        num_new_mappoints=jnp.where(do_insert, n_created, 0),
+        num_triangulated=jnp.sum(tri_ok).astype(jnp.int32),
+        num_keyframes=state.num_kf,
+        num_mappoints=jnp.sum(state.mp_alive).astype(jnp.int32),
+    )
+    return state, out
