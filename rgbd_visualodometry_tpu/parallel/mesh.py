@@ -1,0 +1,153 @@
+"""Device-mesh parallelism for the VO pipeline.
+
+Two orthogonal strategies (SURVEY.md section 2c "throughput scaling" row):
+
+- **Data parallelism over streams** (:class:`MultiStreamVO`): N independent
+  RGB-D streams tracked simultaneously, one ``vmap``-ped tracking step jitted
+  over a ``Mesh`` with states and frames sharded along the ``stream`` axis.
+  Streams are embarrassingly parallel - XLA inserts no collectives in the
+  hot path; only aggregate metrics cross chips (a single ``psum``-style
+  reduction at the end).
+- **Tensor parallelism over the map** (:func:`sharded_match_descriptors`):
+  the mappoint descriptor pool is sharded across chips; each chip computes
+  Hamming distances against its shard on its MXU and the global argmin is
+  combined with an ``all_gather`` over ICI - the classic
+  shard-the-weights/replicate-the-activations layout applied to descriptor
+  matching.  Useful when one map is too big for a chip or one stream must go
+  faster than a single chip allows.
+
+Both compile and run on any mesh size; tests exercise them on a virtual
+8-device CPU mesh (`conftest.py`), and the driver's ``dryrun_multichip``
+validates the same code path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rgbd_visualodometry_tpu import mapstate
+from rgbd_visualodometry_tpu.camera import Camera
+from rgbd_visualodometry_tpu.config import VOConfig
+from rgbd_visualodometry_tpu.pipeline import frontend as frontend_mod
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "stream", devices=None) -> Mesh:
+    devs = devices if devices is not None else jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+class MultiStreamVO:
+    """Track ``n_streams`` independent sequences, sharded over a mesh.
+
+    The per-stream state pytree gets a leading stream axis; every leaf is
+    sharded on that axis, so each chip owns ``n_streams / n_devices``
+    complete VO instances - map, RNG, FSM and all.
+    """
+
+    def __init__(self, cfg: VOConfig, n_streams: int, mesh: Mesh, seed: int = 0):
+        if n_streams % mesh.devices.size != 0:
+            raise ValueError(
+                f"n_streams={n_streams} must divide evenly over {mesh.devices.size} devices"
+            )
+        self.cfg = cfg
+        self.mesh = mesh
+        self.n_streams = n_streams
+        self.camera = Camera.from_config(cfg)
+        axis = mesh.axis_names[0]
+
+        def shard(spec_prefix):
+            return NamedSharding(mesh, P(spec_prefix))
+
+        self._state_sharding = jax.tree_util.tree_map(
+            lambda _: shard(axis), mapstate.init_state(cfg)
+        )
+
+        states = jax.vmap(lambda s: mapstate.init_state(cfg, 0)._replace(
+            rng=jax.random.fold_in(jax.random.PRNGKey(seed), s)
+        ))(jnp.arange(n_streams))
+        self.states = jax.device_put(states, self._state_sharding)
+
+        step = functools.partial(frontend_mod.track_step, cfg, self.camera)
+        self._step = jax.jit(
+            jax.vmap(step),
+            in_shardings=(self._state_sharding, shard(axis)),
+            out_shardings=(self._state_sharding, shard(axis)),
+            donate_argnums=0,
+        )
+
+    def step(self, rgb: np.ndarray, depth: np.ndarray, timestamps: np.ndarray):
+        """One tracking step for all streams.
+
+        rgb [S, H, W, 3] uint8, depth [S, H, W] uint16, timestamps [S].
+        Returns the batched StepOutput (leaves have leading stream axis).
+        """
+        frames = frontend_mod.FrameInput(
+            rgb=jnp.asarray(rgb, jnp.uint8),
+            depth=jnp.asarray(depth, jnp.uint16),
+            timestamp=jnp.asarray(timestamps, jnp.float32),
+        )
+        self.states, out = self._step(self.states, frames)
+        return out
+
+    def aggregate_metrics(self, out) -> dict[str, float]:
+        """Cross-stream (and therefore cross-chip) reduction of counters."""
+        return dict(
+            tracked_fraction=float(jnp.mean(out.tracked.astype(jnp.float32))),
+            mean_inliers=float(jnp.mean(out.num_inliers.astype(jnp.float32))),
+            total_mappoints=int(jnp.sum(out.num_mappoints)),
+        )
+
+
+def sharded_match_descriptors(
+    mesh: Mesh,
+    cand_bip: jnp.ndarray,  # [C, 256] int8 - sharded along C over the mesh
+    cand_mask: jnp.ndarray,  # [C] bool
+    kp_bip: jnp.ndarray,  # [N, 256] int8 - replicated
+    kp_mask: jnp.ndarray,  # [N] bool
+    match_ratio: float = 2.0,
+    min_match_distance: float = 30.0,
+):
+    """Tensor-parallel exact Hamming matching: candidate pool sharded across
+    chips, keypoints replicated; per-row best-keypoint reductions stay local,
+    and only the scalar ``min_distance`` needs a cross-chip ``jnp.min`` (a
+    psum-tree collective over ICI).  Returns the same MatchResult contract as
+    :func:`rgbd_visualodometry_tpu.ops.matching.match_descriptors`.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from rgbd_visualodometry_tpu.ops import matching
+
+    axis = mesh.axis_names[0]
+
+    def local(cand_b, cand_m, kp_b, kp_m):
+        d = matching.hamming_matrix(cand_b, kp_b)
+        d = jnp.where(kp_m[None, :], d, matching.BIG)
+        best_kp = jnp.argmin(d, axis=1).astype(jnp.int32)
+        best_d = jnp.min(d, axis=1)
+        row_ok = cand_m & (best_d < matching.BIG)
+        local_min = jnp.min(jnp.where(row_ok, best_d, matching.BIG))
+        # the only cross-chip communication: one scalar min over ICI
+        global_min = jax.lax.pmin(local_min, axis)
+        max_dis = jnp.maximum(
+            global_min.astype(jnp.float32) * match_ratio, min_match_distance
+        )
+        matched = row_ok & (best_d.astype(jnp.float32) <= max_dis)
+        return matched, best_kp, best_d, global_min[None]
+
+    matched, best_kp, best_d, gmin = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(), P()),
+        out_specs=(P(axis), P(axis), P(axis), P()),
+    )(cand_bip, cand_mask, kp_bip, kp_mask)
+    return matching.MatchResult(
+        matched=matched, kp_index=best_kp, distance=best_d, min_distance=gmin[0]
+    )

@@ -1,0 +1,102 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (conftest.py):
+data-parallel multi-stream tracking and tensor-parallel matching."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rgbd_visualodometry_tpu.config import VOConfig
+from rgbd_visualodometry_tpu.io import synthetic
+from rgbd_visualodometry_tpu.ops import matching
+from rgbd_visualodometry_tpu.parallel import (
+    MultiStreamVO,
+    make_mesh,
+    sharded_match_descriptors,
+)
+
+
+def tiny_cfg():
+    return VOConfig(
+        image_width=128, image_height=96,
+        camera_fx=100.0, camera_fy=100.0, camera_cx=64.0, camera_cy=48.0,
+        number_of_features=64, level_pyramid=2, edge_threshold=16,
+        max_keyframes=8, max_mappoints=512, max_obs_per_mappoint=4,
+        pnp_max_points=128, triangulation_batch=64, ransac_hypotheses=16,
+        tracking_map_min_points=10,
+    )
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return make_mesh(8)
+
+
+def test_multi_stream_tracking(mesh):
+    cfg = tiny_cfg()
+    vo = MultiStreamVO(cfg, n_streams=8, mesh=mesh)
+    scene = synthetic.SyntheticScene(
+        width=128, height=96, fx=100, fy=100, cx=64, cy=48, cell_size=0.12
+    )
+    seq = synthetic.generate_sequence(3, scene=scene)
+    for f in seq:
+        rgb = np.broadcast_to(f.rgb, (8,) + f.rgb.shape)
+        depth = np.broadcast_to(f.depth, (8,) + f.depth.shape)
+        out = vo.step(rgb, depth, np.full(8, f.timestamp))
+    assert out.tracked.shape == (8,)
+    assert bool(out.tracked.all())
+    m = vo.aggregate_metrics(out)
+    assert m["tracked_fraction"] == 1.0
+    # states remain sharded over the mesh
+    shardings = {str(x.sharding.spec) for x in jax.tree_util.tree_leaves(vo.states)}
+    assert any("stream" in s for s in shardings)
+
+
+def test_stream_count_must_divide(mesh):
+    with pytest.raises(ValueError):
+        MultiStreamVO(tiny_cfg(), n_streams=3, mesh=mesh)
+
+
+def test_sharded_matching_equals_single_device(mesh):
+    rng = np.random.default_rng(0)
+    C, N = 512, 64
+    cand_bits = rng.integers(0, 2, (C, 256)).astype(np.int8)
+    kp_bits = rng.integers(0, 2, (N, 256)).astype(np.int8)
+    # plant some near-duplicates so the adaptive gate is meaningful
+    cand_bits[7] = kp_bits[3]
+    cand_bits[100] = kp_bits[10] ^ (np.arange(256) < 4)
+    cand_bip = jnp.asarray(cand_bits * 2 - 1, jnp.int8)
+    kp_bip = jnp.asarray(kp_bits * 2 - 1, jnp.int8)
+    cand_mask = jnp.ones(C, bool).at[5].set(False)
+    kp_mask = jnp.ones(N, bool)
+
+    ref = matching.match_descriptors(cand_bip, cand_mask, kp_bip, kp_mask)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cand_sharded = jax.device_put(cand_bip, NamedSharding(mesh, P("stream")))
+    mask_sharded = jax.device_put(cand_mask, NamedSharding(mesh, P("stream")))
+    got = sharded_match_descriptors(mesh, cand_sharded, mask_sharded, kp_bip, kp_mask)
+
+    np.testing.assert_array_equal(np.asarray(got.matched), np.asarray(ref.matched))
+    np.testing.assert_array_equal(np.asarray(got.kp_index), np.asarray(ref.kp_index))
+    np.testing.assert_array_equal(np.asarray(got.distance), np.asarray(ref.distance))
+    assert int(got.min_distance) == int(ref.min_distance) == 0
+
+
+def test_graft_entry_single_chip():
+    import __graft_entry__
+
+    fn, (state, frame) = __graft_entry__.entry()
+    jitted = jax.jit(fn)
+    state2, out = jitted(state, frame)
+    jax.block_until_ready(out)
+    assert int(out.fsm) in (0, 1)
+    assert state2.kf_pose.shape == state.kf_pose.shape
+
+
+def test_graft_entry_multichip():
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)

@@ -1,0 +1,117 @@
+"""Golden-trajectory integration tests: the full VO system on synthetic
+RGB-D sequences with exact ground truth (the test the reference never had -
+SURVEY.md section 4 'implication').
+"""
+
+import numpy as np
+import pytest
+
+from rgbd_visualodometry_tpu.config import VOConfig
+from rgbd_visualodometry_tpu.evaltools import absolute_trajectory_error
+from rgbd_visualodometry_tpu.io import synthetic
+from rgbd_visualodometry_tpu.mapstate import LOST, TRACKING
+from rgbd_visualodometry_tpu.pipeline.system import VisualOdometry
+
+
+def small_cfg(**kw):
+    base = dict(
+        image_width=320, image_height=240,
+        camera_fx=258.6, camera_fy=258.2, camera_cx=159.3, camera_cy=127.6,
+        number_of_features=300, level_pyramid=4,
+        max_keyframes=32, max_mappoints=4096, max_obs_per_mappoint=8,
+        pnp_max_points=512, triangulation_batch=256, ransac_hypotheses=64,
+        ba_max_poses=8, ba_max_points=2048, ba_max_edges=4096,
+    )
+    base.update(kw)
+    return VOConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return synthetic.SyntheticScene(
+        width=320, height=240, fx=258.6, fy=258.2, cx=159.3, cy=127.6
+    )
+
+
+def run_sequence(cfg, seq):
+    vo = VisualOdometry(cfg)
+    results = vo.run(((f.rgb, f.depth, f.timestamp) for f in seq))
+    return vo, results
+
+
+def ate_of(results, seq):
+    est_ts = np.asarray([r.timestamp for r in results if r.tracked])
+    est_xyz = np.asarray([r.pose_w_c[4:7] for r in results if r.tracked])
+    gt_ts = np.asarray([f.timestamp for f in seq])
+    gt_xyz = np.asarray([synthetic._pose_inverse(f.T_c_w)[4:7] for f in seq])
+    return absolute_trajectory_error(est_ts, est_xyz, gt_ts, gt_xyz)
+
+
+def test_tracks_synthetic_sequence(scene):
+    cfg = small_cfg()
+    seq = synthetic.generate_sequence(15, scene=scene)
+    vo, results = run_sequence(cfg, seq)
+    assert all(r.tracked for r in results)
+    assert results[-1].fsm == TRACKING
+    assert sum(r.is_keyframe for r in results) >= 2
+    ate = ate_of(results, seq)
+    assert ate.rmse < 0.02, f"ATE {ate.rmse * 100:.2f} cm"
+    snap = vo.map_snapshot()
+    assert snap["mappoints"].shape[0] > 300
+    assert snap["num_keyframes"] >= 3
+
+
+def test_frontend_only_mode(scene):
+    """BASELINE config 1: no backend (enable_local_optimization=0,
+    run_vo.cpp:82-86)."""
+    cfg = small_cfg(enable_local_optimization=False)
+    seq = synthetic.generate_sequence(10, scene=scene)
+    vo, results = run_sequence(cfg, seq)
+    assert all(r.tracked for r in results)
+    assert ate_of(results, seq).rmse < 0.03
+
+
+def test_goes_lost_on_garbage_and_stays_lost(scene):
+    cfg = small_cfg(max_num_lost=2)
+    seq = synthetic.generate_sequence(3, scene=scene)
+    vo = VisualOdometry(cfg)
+    for f in seq:
+        vo.process(f.rgb, f.depth, f.timestamp)
+    assert not vo.lost
+    black_rgb = np.zeros((240, 320, 3), np.uint8)
+    black_depth = np.zeros((240, 320), np.uint16)
+    for i in range(5):
+        res = vo.process(black_rgb, black_depth, 1.0 + i)
+        if res.fsm == LOST:
+            break
+    assert vo.lost
+    # reference stays LOST forever (LostHandler, frontend.cpp:146-148)
+    res = vo.process(seq[0].rgb, seq[0].depth, 99.0)
+    assert res.fsm == LOST and not res.tracked
+
+
+def test_stats_mirror_reference_logs(scene):
+    cfg = small_cfg()
+    seq = synthetic.generate_sequence(6, scene=scene)
+    vo, results = run_sequence(cfg, seq)
+    s0 = results[0].stats  # initialization frame
+    assert s0["num_new_mappoints"] > 100
+    assert s0["num_keyframes"] == 1
+    s1 = results[1].stats
+    assert s1["num_matches"] > 30
+    assert s1["num_inliers"] >= 10
+    assert s1["num_candidates"] > 0
+
+
+def test_trajectory_file_written(tmp_path, scene):
+    cfg = small_cfg()
+    seq = synthetic.generate_sequence(5, scene=scene)
+    vo = VisualOdometry(cfg)
+    path = str(tmp_path / "traj.txt")
+    vo.run(((f.rgb, f.depth, f.timestamp) for f in seq), trajectory_path=path)
+    from rgbd_visualodometry_tpu.io.trajectory import read_trajectory
+
+    ts, poses = read_trajectory(path)
+    assert len(ts) == 5
+    # first pose is identity (first frame is the world origin)
+    np.testing.assert_allclose(poses[0], [1, 0, 0, 0, 0, 0, 0], atol=1e-6)
