@@ -123,13 +123,38 @@ def load_frame(rec: TumRecord) -> tuple[np.ndarray, np.ndarray]:
     return bgr[..., ::-1].copy(), depth.astype(np.uint16)
 
 
-def iter_dataset(dataset_dir: str) -> Iterator[tuple[TumRecord, np.ndarray, np.ndarray]]:
+def iter_dataset(
+    dataset_dir: str,
+    width: int = 640,
+    height: int = 480,
+    use_native: bool = True,
+) -> Iterator[tuple[TumRecord, np.ndarray, np.ndarray]]:
     """Yield (record, rgb, depth) over a TUM directory, preferring an
-    existing ``associate.txt`` and falling back to on-the-fly association."""
+    existing ``associate.txt`` and falling back to on-the-fly association.
+
+    When the native C++ loader is available (and ``use_native``), PNG decode
+    runs in a background worker pool that prefetches ahead of the tracking
+    loop; otherwise frames are decoded synchronously with OpenCV like the
+    reference (``run_vo.cpp:91-92``).
+    """
     if os.path.exists(os.path.join(dataset_dir, "associate.txt")):
         records = parse_associate_file(dataset_dir)
     else:
         records = build_associate_records(dataset_dir)
+
+    if use_native:
+        from rgbd_visualodometry_tpu import native
+
+        if native.available():
+            loader = native.NativeLoader(
+                [r.rgb_path for r in records],
+                [r.depth_path for r in records],
+                width=width, height=height,
+            )
+            for idx, rgb, depth in loader:
+                yield records[idx], rgb, depth
+            return
+
     for rec in records:
         rgb, depth = load_frame(rec)
         yield rec, rgb, depth

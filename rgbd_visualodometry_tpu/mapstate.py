@@ -64,6 +64,14 @@ class VOState(NamedTuple):
     obs_depth: jnp.ndarray  # [C, M] float32 measured depth in meters (0 = none)
     obs_valid: jnp.ndarray  # [C, M] bool
 
+    # --- derived-but-cached incidence (maintained incrementally) ----------
+    # A_inc[K, C] int8: keyframe k observes mappoint c.  Kept in lock-step
+    # with the observation table because rebuilding it is a 2M-element
+    # scatter (~26 ms/frame on v5e) while the incremental updates are one
+    # row-write (add), a small scatter (create) and a masked scatter (BA
+    # pruning).  tests/test_mapstate.py asserts consistency.
+    A_inc: jnp.ndarray
+
     # --- tracking bookkeeping -------------------------------------------
     ref_kf: jnp.ndarray  # scalar int32: keyframeRef_ slot
     prev_pose: jnp.ndarray  # [7] framePrev_ pose
@@ -102,6 +110,7 @@ def init_state(cfg: VOConfig, seed: int = 0) -> VOState:
         obs_uv=jnp.zeros((C, M, 2), f32),
         obs_depth=jnp.zeros((C, M), f32),
         obs_valid=jnp.zeros((C, M), bool),
+        A_inc=jnp.zeros((K, C), jnp.int8),
         ref_kf=jnp.int32(0),
         prev_pose=se3.identity(f32),
         fsm=jnp.int32(INITIALIZING),
@@ -117,10 +126,15 @@ def init_state(cfg: VOConfig, seed: int = 0) -> VOState:
 
 
 def incidence(state: VOState) -> jnp.ndarray:
-    """A[K, C] int8: keyframe k observes mappoint c.
+    """A[K, C] int8: keyframe k observes mappoint c (incrementally cached)."""
+    return state.A_inc
 
-    Built by scatter from the observation slots; rows of invalid keyframes
-    stay zero because empty slots carry kf = -1 (dropped by the clamp+guard).
+
+def incidence_from_obs(state: VOState) -> jnp.ndarray:
+    """Rebuild the incidence matrix from the observation table by scatter.
+
+    Slow path (2M-element scatter) kept as the ground truth for consistency
+    tests of the incremental ``A_inc``.
     """
     K = state.kf_pose.shape[0]
     C, M = state.obs_kf.shape
@@ -236,8 +250,12 @@ def add_observations(
     )
     mp_norm = jnp.where(do[:, None], new_norm, state.mp_norm)
 
+    kf_row = jnp.clip(kf_slot, 0, state.A_inc.shape[0] - 1)
+    A_inc = state.A_inc.at[kf_row, :].max(do.astype(jnp.int8))
+
     return state._replace(
-        obs_kf=obs_kf, obs_uv=obs_uv, obs_depth=obs_depth, obs_valid=obs_valid, mp_norm=mp_norm
+        obs_kf=obs_kf, obs_uv=obs_uv, obs_depth=obs_depth, obs_valid=obs_valid,
+        mp_norm=mp_norm, A_inc=A_inc,
     )
 
 
@@ -297,6 +315,9 @@ def create_mappoints(
         obs_uv=state.obs_uv.at[tgt].set(obs_uv_row, mode="drop"),
         obs_depth=state.obs_depth.at[tgt].set(obs_depth_row, mode="drop"),
         obs_valid=state.obs_valid.at[tgt].set(obs_valid_row, mode="drop"),
+        A_inc=state.A_inc.at[
+            jnp.clip(kf_slot, 0, state.A_inc.shape[0] - 1), tgt
+        ].set(1, mode="drop"),
     )
 
 
@@ -304,8 +325,50 @@ def remove_observations(state: VOState, rm_mask: jnp.ndarray) -> VOState:
     """Vectorized ``Frame::RemoveObservedMappoint`` + outlier marking
     (``src/frame.cpp:123-154``, ``src/mappoint.cpp:39-49``): clear the given
     observation slots; mappoints whose observation count drops to zero become
-    outliers (and their slot becomes recyclable)."""
+    outliers (and their slot becomes recyclable).
+
+    Full-pool form (rm_mask [C, M]); prefer
+    :func:`remove_observations_rows` from compact per-point problems (BA) -
+    it avoids a 2M-lane scatter on the incidence matrix.
+    """
+    K = state.A_inc.shape[0]
+    C, M = state.obs_kf.shape
     obs_valid = state.obs_valid & ~rm_mask
     count = jnp.sum(obs_valid, axis=1)
     outlier = state.mp_outlier | (state.mp_valid & (count == 0))
-    return state._replace(obs_valid=obs_valid, mp_outlier=outlier)
+    # clear incidence entries of removed observations ((kf, mp) pairs are
+    # unique by construction, so a direct clear is safe)
+    rows = jnp.where(rm_mask & state.obs_valid, jnp.clip(state.obs_kf, 0, K - 1), K)
+    cols = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[:, None], (C, M))
+    A_inc = state.A_inc.at[rows.reshape(-1), cols.reshape(-1)].set(0, mode="drop")
+    return state._replace(obs_valid=obs_valid, mp_outlier=outlier, A_inc=A_inc)
+
+
+def remove_observations_rows(
+    state: VOState,
+    pidx: jnp.ndarray,  # [B] mappoint slots
+    pval: jnp.ndarray,  # [B] bool
+    prune: jnp.ndarray,  # [B, M] slots to clear
+) -> VOState:
+    """Compact form of :func:`remove_observations` for per-point problems:
+    only B*M scatter lanes instead of C*M."""
+    K = state.A_inc.shape[0]
+    C, M = state.obs_kf.shape
+    prune = prune & pval[:, None]
+    tgt = jnp.where(pval, pidx, C)
+    old_rows = jnp.take(state.obs_valid, pidx, axis=0)
+    new_rows = old_rows & ~prune
+    obs_valid = state.obs_valid.at[tgt].set(new_rows, mode="drop")
+
+    new_count = jnp.sum(new_rows, axis=1)
+    was_valid = jnp.take(state.mp_valid, pidx)
+    newly_outlier = pval & was_valid & (new_count == 0)
+    mp_outlier = state.mp_outlier.at[jnp.where(newly_outlier, pidx, C)].set(
+        True, mode="drop"
+    )
+
+    okf = jnp.take(state.obs_kf, pidx, axis=0)
+    rows = jnp.where(prune & old_rows, jnp.clip(okf, 0, K - 1), K)
+    cols = jnp.broadcast_to(pidx[:, None], prune.shape)
+    A_inc = state.A_inc.at[rows.reshape(-1), cols.reshape(-1)].set(0, mode="drop")
+    return state._replace(obs_valid=obs_valid, mp_outlier=mp_outlier, A_inc=A_inc)

@@ -39,21 +39,9 @@ class RansacResult(NamedTuple):
     num_inliers: jnp.ndarray  # scalar int32 (the reference's numInliers_)
 
 
-def _kabsch(world: jnp.ndarray, cam: jnp.ndarray) -> jnp.ndarray:
-    """Closed-form rigid alignment: find T with cam ~= R @ world + t.
-
-    world, cam: [k, 3].  Returns a pose array [7].
-    """
-    wc = world.mean(axis=0)
-    cc = cam.mean(axis=0)
-    M = (cam - cc).T @ (world - wc)  # [3, 3] cross-covariance
-    U, _, Vt = jnp.linalg.svd(M)
-    d = jnp.linalg.det(U @ Vt)
-    D = jnp.diag(jnp.array([1.0, 1.0, 1.0], M.dtype)).at[2, 2].set(d)
-    R = U @ D @ Vt
-    t = cc - R @ wc
-    q = se3.matrix_to_quat(R)
-    return se3.make(q, t)
+# Closed-form rigid alignment (Horn quaternion method, batched Jacobi
+# eigensolver - no SVD, compiles to fused elementwise ops on TPU).
+from rgbd_visualodometry_tpu.ops.smalleig import kabsch_quat as _kabsch  # noqa: E402
 
 
 def ransac_pnp(
@@ -80,7 +68,7 @@ def ransac_pnp(
     # --- closed-form hypothesis per lane ----------------------------------
     w3 = jnp.take(p_world, sample_idx, axis=0)  # [H, 3, 3]
     c3 = jnp.take(p_cam_depth, sample_idx, axis=0)
-    hyp = jax.vmap(_kabsch)(w3, c3)  # [H, 7]
+    hyp = _kabsch(w3, c3)  # [H, 7] (batched closed form)
     hyp = jnp.nan_to_num(hyp)
     hyp = jnp.concatenate([seed_pose[None], hyp], axis=0)  # [H+1, 7]
 

@@ -12,13 +12,23 @@ Here the whole solve is one jitted program over fixed-capacity arrays:
   edges simply carry a zero pose-Jacobian.
 - **Points**: non-outlier mappoints observed by window keyframes
   (``backend.cpp:62-81``), marginalized via the explicit Schur complement:
-  per-point 3x3 blocks are inverted in batch and the reduced (P*6)^2 camera
-  system is solved densely - P is small, so the MXU eats it.
+  per-point 3x3 blocks are inverted in closed form and the reduced (P*6)^2
+  camera system is solved densely - P is small, so the MXU eats it.
+- **Edge layout is per-point**: observations stay in their native ``[MB, M]``
+  slot structure (mappoint x observation-slot), so the per-point reductions
+  (V, gl) are plain sums over the M axis and the per-pose reductions
+  (U, gp, W) are one-hot matmuls on the MXU - **no scatters in the LM loop**
+  (TPU scatters serialize; the first implementation spent ~300 ms/solve in
+  them, this one is ~100x cheaper per iteration).
 - **Robustification**: Huber delta = sqrt(7.815) (``backend.cpp:84``),
   two rounds of 10 LM iterations with chi2 > chi2_th pruning in between;
   pruned observations are *removed from the map* and zero-observation
   mappoints become outliers (``backend.cpp:139-172`` ->
   ``Frame::RemoveObservedMappoint`` -> ``Mappoint::RemoveObservedByKeyframe``).
+- **Depth priors**: observations with measured sensor depth add a
+  ``(d_meas - z_cam)`` residual with pixel-equivalent weighting, anchoring
+  the metric scale that pure reprojection BA leaves free (an improvement
+  over the reference; disable with ``ba_use_depth_prior=False``).
 - **Write-back**: window keyframe poses and non-outlier point positions
   (``backend.cpp:182-194``); touched points get ``optimized_ = true``.
 
@@ -40,6 +50,7 @@ from rgbd_visualodometry_tpu.config import VOConfig
 from rgbd_visualodometry_tpu.mapstate import VOState
 from rgbd_visualodometry_tpu.ops import lm as lm_ops
 from rgbd_visualodometry_tpu.ops import packing, se3
+from rgbd_visualodometry_tpu.ops.smalleig import inv3x3
 
 
 class _BAProblem(NamedTuple):
@@ -50,21 +61,19 @@ class _BAProblem(NamedTuple):
     # points
     pidx: jnp.ndarray  # [MB] mappoint slots
     pval: jnp.ndarray  # [MB] bool
-    # edges
-    e_p: jnp.ndarray  # [E] index into packed points
-    e_w: jnp.ndarray  # [E] index into window poses (0 if fixed-outside)
-    e_kf: jnp.ndarray  # [E] raw keyframe slot (for fixed-pose gather)
-    e_slot: jnp.ndarray  # [E] observation slot (for map pruning write-back)
-    e_uv: jnp.ndarray  # [E, 2] measured pixel
-    e_depth: jnp.ndarray  # [E] measured sensor depth in meters (0 = none)
-    e_pose_free: jnp.ndarray  # [E] bool - pose Jacobian active
-    e_valid: jnp.ndarray  # [E] bool
+    # observations, per-point layout [MB, M]
+    o_uv: jnp.ndarray  # [MB, M, 2] measured pixel
+    o_depth: jnp.ndarray  # [MB, M] measured sensor depth (0 = none)
+    o_valid: jnp.ndarray  # [MB, M] bool
+    o_pose_free: jnp.ndarray  # [MB, M] bool - pose Jacobian active
+    o_onehot: jnp.ndarray  # [MB, M, P] f32 one-hot window pose (0 if fixed)
+    fixed_poses: jnp.ndarray  # [MB, M, 7] observer poses frozen from the map
 
 
 def build_problem(cfg: VOConfig, state: VOState, kf: jnp.ndarray) -> _BAProblem:
     K = state.kf_pose.shape[0]
     C, M = state.obs_kf.shape
-    P, MB, E = cfg.ba_max_poses, cfg.ba_max_points, cfg.ba_max_edges
+    P, MB = cfg.ba_max_poses, cfg.ba_max_points
 
     A = mapstate.incidence(state)
     row = jax.lax.dot_general(
@@ -100,52 +109,46 @@ def build_problem(cfg: VOConfig, state: VOState, kf: jnp.ndarray) -> _BAProblem:
     pmask = observed & state.mp_alive
     pidx, pval = packing.compact_indices(pmask, MB)
 
-    # edges: every valid observation of a selected point
-    obs_kf = jnp.take(state.obs_kf, pidx, axis=0)  # [MB, M]
-    obs_ok = jnp.take(state.obs_valid, pidx, axis=0) & pval[:, None]
-    e_mask = obs_ok.reshape(-1)  # [MB*M]
-    eidx, e_valid = packing.compact_indices(e_mask, E)
-    e_p = (eidx // M).astype(jnp.int32)
-    e_slot = (eidx % M).astype(jnp.int32)
-    e_kf = obs_kf.reshape(-1)[eidx]
-    e_kf_safe = jnp.clip(e_kf, 0, K - 1)
-    e_wpos = wpos[e_kf_safe]
-    e_in_window = (e_wpos >= 0) & e_valid
-    e_w = jnp.where(e_in_window, e_wpos, 0)
-    e_fixed_slot0 = jnp.take(wfixed, e_w)
-    e_pose_free = e_in_window & ~e_fixed_slot0
-    e_uv = jnp.take(state.obs_uv, pidx, axis=0).reshape(-1, 2)[eidx]
-    e_depth = jnp.take(state.obs_depth, pidx, axis=0).reshape(-1)[eidx]
+    # observations in their native per-point slots
+    o_kf = jnp.take(state.obs_kf, pidx, axis=0)  # [MB, M]
+    o_valid = jnp.take(state.obs_valid, pidx, axis=0) & pval[:, None]
+    o_uv = jnp.take(state.obs_uv, pidx, axis=0)
+    o_depth = jnp.take(state.obs_depth, pidx, axis=0)
+    o_kf_safe = jnp.clip(o_kf, 0, K - 1)
+    o_wpos = wpos[o_kf_safe]  # [MB, M]
+    o_in_window = (o_wpos >= 0) & o_valid
+    o_fixed_slot0 = jnp.take(wfixed, jnp.where(o_in_window, o_wpos, 0))
+    o_pose_free = o_in_window & ~o_fixed_slot0
+    o_onehot = jax.nn.one_hot(
+        jnp.where(o_pose_free, o_wpos, P), P, dtype=jnp.float32
+    )  # class P -> all-zeros row
+    fixed_poses = jnp.take(state.kf_pose, o_kf_safe, axis=0)  # [MB, M, 7]
 
     return _BAProblem(
-        widx=widx, wval=wval, wfixed=wfixed,
-        pidx=pidx, pval=pval,
-        e_p=e_p, e_w=e_w, e_kf=e_kf_safe, e_slot=e_slot, e_uv=e_uv,
-        e_depth=e_depth, e_pose_free=e_pose_free, e_valid=e_valid,
+        widx=widx, wval=wval, wfixed=wfixed, pidx=pidx, pval=pval,
+        o_uv=o_uv, o_depth=o_depth, o_valid=o_valid,
+        o_pose_free=o_pose_free, o_onehot=o_onehot, fixed_poses=fixed_poses,
     )
 
 
-def _edge_residuals(prob, poses_w, pts, fixed_poses, camera):
-    """Residuals + camera-frame points for every edge.
+def _obs_poses(prob: _BAProblem, poses_w: jnp.ndarray) -> jnp.ndarray:
+    """Current observer pose per observation slot [MB, M, 7]: free edges read
+    the evolving window estimates (via one-hot matmul - a gather the MXU
+    likes), fixed edges read the frozen map poses."""
+    via = jnp.einsum("pmi,iq->pmq", prob.o_onehot, poses_w)
+    return jnp.where(prob.o_pose_free[..., None], via, prob.fixed_poses)
 
-    poses_w: [P, 7] current window pose estimates; fixed_poses: [E, 7]
-    poses gathered from the (constant) map for out-of-window observers.
-    """
-    # free-pose edges read the evolving window estimates; fixed poses (slot 0
-    # or out-of-window observers) read the frozen map poses - slot 0 never
-    # moves in the window either, so the two sources agree for it
-    e_pose = jnp.where(
-        prob.e_pose_free[:, None], jnp.take(poses_w, prob.e_w, axis=0), fixed_poses
-    )
-    p_w = jnp.take(pts, prob.e_p, axis=0)
-    p_c = se3.apply(e_pose, p_w)
+
+def _residuals(prob: _BAProblem, poses_w, pts, camera):
+    e_pose = _obs_poses(prob, poses_w)
+    p_c = se3.apply(e_pose, pts[:, None, :])
     proj = cam_mod.camera2pixel(camera, p_c)
-    return prob.e_uv - proj, p_c, e_pose
+    return prob.o_uv - proj, p_c, e_pose
 
 
-def _chi2(prob, poses_w, pts, fixed_poses, camera):
-    e, _, _ = _edge_residuals(prob, poses_w, pts, fixed_poses, camera)
-    return jnp.sum(e * e, axis=-1)
+def _chi2(prob, poses_w, pts, camera):
+    e, _, _ = _residuals(prob, poses_w, pts, camera)
+    return jnp.sum(e * e, axis=-1)  # [MB, M]
 
 
 class _IterState(NamedTuple):
@@ -155,92 +158,89 @@ class _IterState(NamedTuple):
     cost: jnp.ndarray
 
 
-def _lm_rounds(cfg, camera, prob, poses0, pts0, fixed_poses, edge_mask, iterations, huber_delta):
-    """One LM phase (``optimizer.optimize(10)``) with adaptive damping."""
-    P = poses0.shape[0]
-    MB = pts0.shape[0]
-    maskf = edge_mask.astype(jnp.float32)
+def _lm_phase(cfg, camera, prob, poses0, pts0, obs_mask, iterations, huber_delta):
+    """One LM phase (``optimizer.optimize(10)``) with adaptive damping.
 
-    # depth-prior information: pixel-equivalent weighting (fx/z)^2 so the
-    # sensor-depth residual (meters) lives on the same chi2 scale as the
-    # 2D reprojection residual (pixels); see VOConfig.ba_use_depth_prior
+    All reductions are sums over the M axis or one-hot matmuls over the P
+    axis - scatter-free by construction.
+    """
+    P = poses0.shape[0]
+    maskf = obs_mask.astype(jnp.float32)  # [MB, M]
+
     if cfg.ba_use_depth_prior:
-        w_depth = (
-            (prob.e_depth > 0).astype(jnp.float32)
+        w_depth_info = (
+            (prob.o_depth > 0).astype(jnp.float32)
             * cfg.ba_depth_weight
-            * (camera.fx / jnp.maximum(prob.e_depth, 0.25)) ** 2
+            * (camera.fx / jnp.maximum(prob.o_depth, 0.25)) ** 2
         )
     else:
-        w_depth = jnp.zeros_like(prob.e_depth)
-
-    def depth_residual(poses, pts):
-        _, p_c, _ = _edge_residuals(prob, poses, pts, fixed_poses, camera)
-        return prob.e_depth - p_c[..., 2]
+        w_depth_info = jnp.zeros_like(prob.o_depth)
 
     def total_cost(poses, pts):
-        c2 = _chi2(prob, poses, pts, fixed_poses, camera)
-        rd = depth_residual(poses, pts)
+        e, p_c, _ = _residuals(prob, poses, pts, camera)
+        c2 = jnp.sum(e * e, axis=-1)
+        rd = prob.o_depth - p_c[..., 2]
         return jnp.sum(
-            maskf * (lm_ops._robust_cost(c2, huber_delta) + w_depth * rd * rd)
+            maskf * (lm_ops._robust_cost(c2, huber_delta) + w_depth_info * rd * rd)
         )
 
-    seg_pw = prob.e_p * P + prob.e_w  # combined (point, window-pose) segment
+    free_pose = (~prob.wfixed) & prob.wval
+    fm = free_pose.astype(jnp.float32)
+    diag = jnp.arange(P)
 
     def body(_, st: _IterState) -> _IterState:
-        e, p_c, e_pose = _edge_residuals(prob, st.poses, st.pts, fixed_poses, camera)
-        Jp = lm_ops.pose_jacobian(p_c, camera)  # [E, 2, 6]
-        R = se3.quat_to_matrix(se3.quat(e_pose))  # [E, 3, 3]
-        Jl = jnp.einsum("eki,eij->ekj", Jp[:, :, :3], R)  # [E, 2, 3] (g2o_types.h:172)
+        e, p_c, e_pose = _residuals(prob, st.poses, st.pts, camera)  # [MB,M,*]
+        Jp = lm_ops.pose_jacobian(p_c, camera)  # [MB, M, 2, 6]
+        R = se3.quat_to_matrix(se3.quat(e_pose))  # [MB, M, 3, 3]
+        Jl = jnp.einsum("pmki,pmij->pmkj", Jp[..., :3], R)  # (g2o_types.h:172)
         w = maskf * lm_ops._huber_weights(jnp.sum(e * e, axis=-1), huber_delta)
-        wp = w * prob.e_pose_free.astype(jnp.float32)
+        wp = w * prob.o_pose_free.astype(jnp.float32)
 
-        # depth-prior terms: residual r_d = d_meas - z_cam with
-        # dz/ddelta = [0,0,1, y,-x, 0] (left-mult update), dz/dp_w = R.row(2)
-        X, Y, Z = p_c[..., 0], p_c[..., 1], p_c[..., 2]
+        # depth-prior terms: r_d = d_meas - z_cam,
+        # dz/ddelta = [0,0,1, y,-x, 0], dz/dp_w = R.row(2)
+        X, Y = p_c[..., 0], p_c[..., 1]
         zeros = jnp.zeros_like(X)
         ones = jnp.ones_like(X)
-        Jd_pose = -jnp.stack([zeros, zeros, ones, Y, -X, zeros], axis=-1)  # [E, 6]
-        Jd_pt = -R[:, 2, :]  # [E, 3]
-        r_d = prob.e_depth - Z
-        wd = maskf * w_depth
-        wdp = wd * prob.e_pose_free.astype(jnp.float32)
+        Jd_pose = -jnp.stack([zeros, zeros, ones, Y, -X, zeros], axis=-1)
+        Jd_pt = -R[..., 2, :]
+        r_d = prob.o_depth - p_c[..., 2]
+        wd = maskf * w_depth_info
+        wdp = wd * prob.o_pose_free.astype(jnp.float32)
 
-        # block accumulations (reprojection + depth-prior terms fused)
-        U = jnp.zeros((P, 6, 6), jnp.float32).at[prob.e_w].add(
-            wp[:, None, None] * jnp.einsum("eki,ekj->eij", Jp, Jp)
-            + wdp[:, None, None] * jnp.einsum("ei,ej->eij", Jd_pose, Jd_pose)
+        # per-point blocks: plain sums over the M axis
+        V = (
+            jnp.einsum("pm,pmki,pmkj->pij", w, Jl, Jl)
+            + jnp.einsum("pm,pmi,pmj->pij", wd, Jd_pt, Jd_pt)
         )
-        gp = jnp.zeros((P, 6), jnp.float32).at[prob.e_w].add(
-            wp[:, None] * jnp.einsum("eki,ek->ei", Jp, e)
-            + wdp[:, None] * Jd_pose * r_d[:, None]
+        gl = (
+            jnp.einsum("pm,pmki,pmk->pi", w, Jl, e)
+            + jnp.einsum("pm,pmi,pm->pi", wd, Jd_pt, r_d)
         )
-        V = jnp.zeros((MB, 3, 3), jnp.float32).at[prob.e_p].add(
-            w[:, None, None] * jnp.einsum("eki,ekj->eij", Jl, Jl)
-            + wd[:, None, None] * jnp.einsum("ei,ej->eij", Jd_pt, Jd_pt)
+        # per-pose blocks: one-hot matmuls over (point, slot) -> pose
+        UJp = wp[..., None, None] * jnp.einsum("pmka,pmkb->pmab", Jp, Jp) + (
+            wdp[..., None, None] * jnp.einsum("pma,pmb->pmab", Jd_pose, Jd_pose)
         )
-        gl = jnp.zeros((MB, 3), jnp.float32).at[prob.e_p].add(
-            w[:, None] * jnp.einsum("eki,ek->ei", Jl, e)
-            + wd[:, None] * Jd_pt * r_d[:, None]
+        U = jnp.einsum("pmi,pmab->iab", prob.o_onehot, UJp)
+        gpe = wp[..., None] * jnp.einsum("pmka,pmk->pma", Jp, e) + (
+            wdp[..., None] * Jd_pose * r_d[..., None]
         )
-        Wt = jnp.zeros((MB * P, 6, 3), jnp.float32).at[seg_pw].add(
-            wp[:, None, None] * jnp.einsum("eki,ekj->eij", Jp, Jl)
-            + wdp[:, None, None] * jnp.einsum("ei,ej->eij", Jd_pose, Jd_pt)
-        ).reshape(MB, P, 6, 3)
+        gp = jnp.einsum("pmi,pma->ia", prob.o_onehot, gpe)
+        WJ = wp[..., None, None] * jnp.einsum("pmka,pmkb->pmab", Jp, Jl) + (
+            wdp[..., None, None] * jnp.einsum("pma,pmb->pmab", Jd_pose, Jd_pt)
+        )
+        Wt = jnp.einsum("pmi,pmab->piab", prob.o_onehot, WJ)  # [MB, P, 6, 3]
 
         lam = st.lam
         Ud = U + lam * jnp.eye(6, dtype=jnp.float32)[None]
         Vd = V + lam * jnp.eye(3, dtype=jnp.float32)[None]
-        Vinv = jnp.linalg.inv(Vd)
-        Y = jnp.einsum("pial,plk->piak", Wt, Vinv)  # [MB, P, 6, 3]
+        Vinv = inv3x3(Vd)
+        Y_ = jnp.einsum("pial,plk->piak", Wt, Vinv)  # [MB, P, 6, 3]
 
-        S = -jnp.einsum("piak,pjbk->iajb", Y, Wt)  # [P, 6, P, 6]
-        diag = jnp.arange(P)
+        S = -jnp.einsum("piak,pjbk->iajb", Y_, Wt)  # [P, 6, P, 6]
         S = S.at[diag, :, diag, :].add(Ud)
-        rhs = -(gp - jnp.einsum("piak,pk->ia", Y, gl))  # [P, 6]
+        rhs = -(gp - jnp.einsum("piak,pk->ia", Y_, gl))  # [P, 6]
 
         # freeze fixed / invalid poses: identity rows, zero rhs
-        free_pose = (~prob.wfixed) & prob.wval
-        fm = free_pose.astype(jnp.float32)
         S = S * fm[:, None, None, None] * fm[None, None, :, None]
         S = S.at[diag, :, diag, :].add(
             jnp.eye(6, dtype=jnp.float32)[None] * (1.0 - fm)[:, None, None]
@@ -286,28 +286,26 @@ def ba_step(cfg: VOConfig, camera, state: VOState, kf: jnp.ndarray):
 
     poses0 = jnp.take(state.kf_pose, prob.widx, axis=0)
     pts0 = jnp.take(state.mp_pos, prob.pidx, axis=0)
-    fixed_poses = jnp.take(state.kf_pose, prob.e_kf, axis=0)
 
     # round 1: robust kernel on all edges (backend.cpp:122-141)
-    poses1, pts1 = _lm_rounds(
-        cfg, camera, prob, poses0, pts0, fixed_poses, prob.e_valid,
+    poses1, pts1 = _lm_phase(
+        cfg, camera, prob, poses0, pts0, prob.o_valid,
         cfg.ba_iterations, cfg.huber_delta,
     )
-    chi2_1 = _chi2(prob, poses1, pts1, fixed_poses, camera)
-    prune1 = prob.e_valid & (chi2_1 > cfg.chi2_th)
+    chi2_1 = _chi2(prob, poses1, pts1, camera)
+    prune1 = prob.o_valid & (chi2_1 > cfg.chi2_th)
 
     # round 2: no robust kernel, pruned edges out (backend.cpp:143-159)
-    mask2 = prob.e_valid & ~prune1
-    poses2, pts2 = _lm_rounds(
-        cfg, camera, prob, poses1, pts1, fixed_poses, mask2,
-        cfg.ba_iterations, None,
+    mask2 = prob.o_valid & ~prune1
+    poses2, pts2 = _lm_phase(
+        cfg, camera, prob, poses1, pts1, mask2, cfg.ba_iterations, None
     )
-    chi2_2 = _chi2(prob, poses2, pts2, fixed_poses, camera)
+    chi2_2 = _chi2(prob, poses2, pts2, camera)
     prune2 = mask2 & (chi2_2 > cfg.chi2_th)
-    pruned = prune1 | prune2
+    pruned = prune1 | prune2  # [MB, M]
 
     # ---- write back ------------------------------------------------------
-    # poses of window keyframes (incl. the fixed one - unchanged anyway)
+    # poses of window keyframes (the fixed one is unchanged anyway)
     wtgt = jnp.where(prob.wval & ~prob.wfixed, prob.widx, state.kf_pose.shape[0])
     kf_pose = state.kf_pose.at[wtgt].set(poses2, mode="drop")
 
@@ -319,10 +317,9 @@ def ba_step(cfg: VOConfig, camera, state: VOState, kf: jnp.ndarray):
 
     state = state._replace(kf_pose=kf_pose, mp_pos=mp_pos, mp_optimized=mp_opt)
 
-    # remove pruned observations from the map (backend.cpp:148-153, 164-168)
-    rm_flat_idx = jnp.where(pruned, jnp.take(prob.pidx, prob.e_p) * M + prob.e_slot, C * M)
-    rm_mask = jnp.zeros(C * M, bool).at[rm_flat_idx].set(True, mode="drop").reshape(C, M)
-    state = mapstate.remove_observations(state, rm_mask)
+    # remove pruned observations from the map (backend.cpp:148-153, 164-168):
+    # the per-point layout maps 1:1 onto the observation table rows
+    state = mapstate.remove_observations_rows(state, prob.pidx, prob.pval, pruned)
 
     out = BAOutput(
         num_pruned=jnp.sum(pruned).astype(jnp.int32),

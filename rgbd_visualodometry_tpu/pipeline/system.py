@@ -1,17 +1,27 @@
 """Host-side system orchestrator.
 
 Equivalent of the object wiring and main loop in ``app/run_vo.cpp:72-128``
-(Camera + FrontEnd + optional Backend + optional Viewer), minus the threads:
-the tracking step and the BA step are two jitted programs on the same device
-queue.  Dispatch is asynchronous - the host enqueues the BA right after a
-keyframe step and immediately continues with the next frame's host work
-(image decode, H2D transfer), which is the functional analogue of the
-reference's backend worker thread + condvar ("latest keyframe wins",
-``backend.h:33-37``).
+(Camera + FrontEnd + optional Backend + optional Viewer), minus the threads.
+
+Latency design - the host<->device link may be high-latency (this
+environment tunnels to the TPU), so the steady-state loop performs **zero
+synchronous host round-trips per frame**:
+
+- tracking step and local BA are fused into ONE jitted program; the
+  keyframe decision selects the BA branch with ``lax.cond`` *on device*
+  (the reference's backend thread + condvar, ``backend.h:33-37``, becomes a
+  device-side predicated call - "latest keyframe wins" trivially holds
+  because BA runs in-line with its own keyframe),
+- frame inputs are enqueued with async ``device_put``/dispatch,
+- outputs are materialized with a configurable lag (default 3 frames), so
+  LOST detection trails by at most that many frames - the trailing frames
+  are no-ops in the LOST state (``frontend.cpp:146-148``) and produce no
+  trajectory entries, exactly like the reference's immediate stop.
 """
 
 from __future__ import annotations
 
+import collections
 import functools
 import time
 from dataclasses import dataclass, field
@@ -27,6 +37,18 @@ from rgbd_visualodometry_tpu.config import VOConfig
 from rgbd_visualodometry_tpu.mapstate import LOST
 from rgbd_visualodometry_tpu.pipeline import backend as backend_mod
 from rgbd_visualodometry_tpu.pipeline import frontend as frontend_mod
+
+
+def step_with_ba(cfg: VOConfig, camera, state, frame):
+    """Tracking step + device-side conditional local BA (one XLA program)."""
+    state, out = frontend_mod.track_step(cfg, camera, state, frame)
+    if cfg.enable_local_optimization:
+        def do_ba(s):
+            s2, _ = backend_mod.ba_step(cfg, camera, s, out.kf_slot)
+            return s2
+
+        state = jax.lax.cond(out.needs_ba, do_ba, lambda s: s, state)
+    return state, out
 
 
 @dataclass
@@ -56,24 +78,23 @@ class VisualOdometry:
     """
 
     def __init__(self, cfg: VOConfig, seed: int = 0, device: Optional[Any] = None):
+        from rgbd_visualodometry_tpu.utils import enable_compilation_cache
+
+        enable_compilation_cache()
         self.cfg = cfg
         self.camera = Camera.from_config(cfg)
         self.device = device or jax.devices()[0]
         self.state = jax.device_put(mapstate.init_state(cfg, seed), self.device)
         self._step = jax.jit(
-            functools.partial(frontend_mod.track_step, cfg, self.camera),
-            donate_argnums=0,
-        )
-        self._ba = jax.jit(
-            functools.partial(backend_mod.ba_step, cfg, self.camera),
-            donate_argnums=0,
+            functools.partial(step_with_ba, cfg, self.camera), donate_argnums=0
         )
         self.results: list[FrameResult] = []
-        self.enable_backend = bool(cfg.enable_local_optimization)
+        self._pending: collections.deque = collections.deque()
 
-    def process(self, rgb: np.ndarray, depth: np.ndarray, timestamp: float) -> FrameResult:
-        """Track one frame (the ``frontend->AddFrame`` hot path,
-        ``run_vo.cpp:104-109``)."""
+    # ---- async pipeline --------------------------------------------------
+
+    def process_async(self, rgb: np.ndarray, depth: np.ndarray, timestamp: float):
+        """Enqueue one frame; no host synchronization (the hot path)."""
         t0 = time.perf_counter()
         frame = frontend_mod.FrameInput(
             rgb=jnp.asarray(rgb, jnp.uint8),
@@ -81,60 +102,113 @@ class VisualOdometry:
             timestamp=jnp.float32(timestamp),
         )
         self.state, out = self._step(self.state, frame)
-        # async BA dispatch: enqueue and return without blocking; XLA's
-        # in-order device queue serializes it behind the tracking step
-        if self.enable_backend and bool(out.needs_ba):
-            self.state, _ = self._ba(self.state, out.kf_slot)
-        pose_w_c = np.asarray(out.pose_w_c)
+        self._pending.append((float(timestamp), out, time.perf_counter() - t0))
+
+    def _materialize(self, ts: float, out, dispatch_s: float) -> FrameResult:
+        o = jax.device_get(out)  # ONE host transfer for the whole record
         res = FrameResult(
-            timestamp=float(timestamp),
-            tracked=bool(out.tracked),
-            fsm=int(out.fsm),
-            is_keyframe=bool(out.is_keyframe),
-            pose_w_c=pose_w_c,
-            pose_c_w=np.asarray(out.pose_c_w),
+            timestamp=ts,
+            tracked=bool(o.tracked),
+            fsm=int(o.fsm),
+            is_keyframe=bool(o.is_keyframe),
+            pose_w_c=np.asarray(o.pose_w_c),
+            pose_c_w=np.asarray(o.pose_c_w),
             stats=dict(
-                num_candidates=int(out.num_candidates),
-                num_matches=int(out.num_matches),
-                num_inliers=int(out.num_inliers),
-                num_final_inliers=int(out.num_final_inliers),
-                num_new_mappoints=int(out.num_new_mappoints),
-                num_triangulated=int(out.num_triangulated),
-                num_keyframes=int(out.num_keyframes),
-                num_mappoints=int(out.num_mappoints),
+                num_candidates=int(o.num_candidates),
+                num_matches=int(o.num_matches),
+                num_inliers=int(o.num_inliers),
+                num_final_inliers=int(o.num_final_inliers),
+                num_new_mappoints=int(o.num_new_mappoints),
+                num_triangulated=int(o.num_triangulated),
+                num_keyframes=int(o.num_keyframes),
+                num_mappoints=int(o.num_mappoints),
             ),
-            step_seconds=time.perf_counter() - t0,
+            step_seconds=dispatch_s,
         )
         self.results.append(res)
         return res
+
+    def drain(self, keep_lag: int = 0) -> Optional[FrameResult]:
+        """Materialize pending outputs, leaving up to ``keep_lag`` in flight."""
+        last = None
+        while len(self._pending) > keep_lag:
+            last = self._materialize(*self._pending.popleft())
+        return last
+
+    # ---- synchronous convenience (run_vo.cpp:104-109 semantics) ----------
+
+    def process(self, rgb: np.ndarray, depth: np.ndarray, timestamp: float) -> FrameResult:
+        """Track one frame and synchronously return its result."""
+        self.process_async(rgb, depth, timestamp)
+        return self.drain(0)
 
     @property
     def lost(self) -> bool:
         return bool(self.results) and self.results[-1].fsm == LOST
 
-    def run(self, frames, trajectory_path: Optional[str] = None, verbose: bool = False):
+    def run(
+        self,
+        frames,
+        trajectory_path: Optional[str] = None,
+        verbose: bool = False,
+        lag: int = 3,
+        stats_path: Optional[str] = None,
+    ):
         """Dataset loop mirroring ``run_vo.cpp:89-117``: track every frame,
-        stream TUM-format poses of tracked frames, stop on LOST."""
+        stream TUM-format poses of tracked frames, stop on LOST.
+
+        ``stats_path`` streams one JSON record per frame - the structured
+        counterpart of the reference's per-stage stdout logs (SURVEY.md
+        section 5 observability row).
+        """
+        import json
+
         from rgbd_visualodometry_tpu.io.trajectory import TrajectoryWriter
 
         writer = TrajectoryWriter(trajectory_path) if trajectory_path else None
-        try:
-            for rgb, depth, ts in frames:
-                res = self.process(rgb, depth, ts)
+        stats_f = open(stats_path, "w", encoding="utf-8") if stats_path else None
+        written = 0
+
+        def flush(keep_lag):
+            nonlocal written
+            self.drain(keep_lag)
+            for res in self.results[written:]:
                 if verbose:
                     s = res.stats
                     print(
                         f"t={res.timestamp:.3f} fsm={res.fsm} kf={int(res.is_keyframe)} "
                         f"match={s['num_matches']} inlier={s['num_inliers']} "
-                        f"map={s['num_mappoints']} {res.step_seconds * 1e3:.1f} ms"
+                        f"map={s['num_mappoints']}"
                     )
-                if res.fsm == LOST:
-                    break
-                if writer and res.tracked:
+                if stats_f:
+                    stats_f.write(
+                        json.dumps(
+                            dict(
+                                timestamp=res.timestamp,
+                                tracked=res.tracked,
+                                fsm=res.fsm,
+                                is_keyframe=res.is_keyframe,
+                                **res.stats,
+                            )
+                        )
+                        + "\n"
+                    )
+                if writer and res.tracked and res.fsm != LOST:
                     writer.write(res.timestamp, res.pose_w_c)
+            written = len(self.results)
+
+        try:
+            for rgb, depth, ts in frames:
+                self.process_async(rgb, depth, ts)
+                flush(lag)
+                if self.lost:
+                    break
+            flush(0)
         finally:
             if writer:
                 writer.close()
+            if stats_f:
+                stats_f.close()
         return self.results
 
     def map_snapshot(self) -> dict[str, np.ndarray]:

@@ -110,7 +110,11 @@ def test_build_problem_structure():
     fixed = np.asarray(prob.wfixed)[np.asarray(prob.widx) == 0]
     assert fixed.all()
     assert int(prob.pval.sum()) == 120
-    assert int(prob.e_valid.sum()) == 480  # 4 kf x 120 pts
+    assert int(prob.o_valid.sum()) == 480  # 4 kf x 120 pts
+    # every valid observation's pose is free except keyframe 0's
+    assert int(prob.o_pose_free.sum()) == 360
+    # one-hot rows sum to 1 exactly for free-pose observations
+    assert int(prob.o_onehot.sum()) == 360
 
 
 def test_ba_converges_to_ground_truth():
