@@ -76,6 +76,7 @@ def detect_level(
     threshold: float,
     border: int,
     topk: int,
+    use_pallas: bool | None = None,
 ):
     """Detect up to ``topk`` FAST corners, Harris-ranked, on one level.
 
@@ -83,19 +84,36 @@ def detect_level(
     valid bool [topk])``.  Static output shapes: missing detections are
     masked out, never dropped (the key XLA design constraint - see
     SURVEY.md section 7 hard part #1).
+
+    ``use_pallas`` selects the fused Pallas kernel
+    (:mod:`rgbd_visualodometry_tpu.ops.pallas_fast`) instead of the pure-XLA
+    formulation.  Both are numerically identical away from the 1-pixel image
+    border (excluded by the ``border`` mask anyway).  Default is the XLA
+    path: on v5e, XLA's own fusion of the shifted-slice formulation measured
+    ~100x faster than the handwritten kernel (the unaligned halo slices
+    defeat Mosaic's vector layout) - a textbook "let XLA fuse" case.
     """
     h, w = gray.shape
-    score = fast_score(gray)
-    is_corner = score > threshold
-    # 3x3 non-maximum suppression on the FAST score
-    nms = score >= im.maxpool3x3(score)
+    if use_pallas is None:
+        use_pallas = False
+    if use_pallas:
+        from rgbd_visualodometry_tpu.ops import pallas_fast
+
+        nms_score = pallas_fast.fast_score_nms(gray)
+        mask = nms_score > threshold
+    else:
+        score = fast_score(gray)
+        is_corner = score > threshold
+        # 3x3 non-maximum suppression on the FAST score
+        nms = score >= im.maxpool3x3(score)
+        mask = is_corner & nms
 
     ys = jnp.arange(h)[:, None]
     xs = jnp.arange(w)[None, :]
     in_border = (
         (ys >= border) & (ys < h - border) & (xs >= border) & (xs < w - border)
     )
-    mask = is_corner & nms & in_border
+    mask = mask & in_border
 
     harris = harris_response(gray)
     neg = jnp.asarray(-jnp.inf, gray.dtype)

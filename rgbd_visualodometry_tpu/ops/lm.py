@@ -79,6 +79,8 @@ class _LMState(NamedTuple):
     pose: jnp.ndarray
     lam: jnp.ndarray
     cost: jnp.ndarray
+    it: jnp.ndarray
+    done: jnp.ndarray
 
 
 def lm_pose_round(
@@ -89,15 +91,27 @@ def lm_pose_round(
     camera,
     iterations: int,
     huber_delta: float | None,
+    rtol: float = 1e-6,
 ) -> jnp.ndarray:
-    """One LM round over masked correspondences; returns the refined pose."""
+    """One LM round over masked correspondences; returns the refined pose.
+
+    Runs at most ``iterations`` damped steps (the reference's optimize(10))
+    but exits early once the relative cost improvement of an accepted step
+    drops below ``rtol`` - LM iterations execute serially on device, so
+    converged iterations are pure latency.
+    """
+    from rgbd_visualodometry_tpu.ops.smalleig import cholesky_solve
+
     maskf = mask.astype(pts_w.dtype)
 
     def total_cost(pose):
         e, _ = reprojection_residuals(pose, pts_w, uv, camera)
         return jnp.sum(maskf * _robust_cost(jnp.sum(e * e, axis=-1), huber_delta))
 
-    def body(_, st: _LMState) -> _LMState:
+    def cond(st: _LMState):
+        return (st.it < iterations) & ~st.done
+
+    def body(st: _LMState) -> _LMState:
         e, p_c = reprojection_residuals(st.pose, pts_w, uv, camera)
         J = pose_jacobian(p_c, camera)
         w = maskf * _huber_weights(jnp.sum(e * e, axis=-1), huber_delta)
@@ -105,20 +119,27 @@ def lm_pose_round(
         H = jnp.einsum("m,mki,mkj->ij", w, J, J)
         g = jnp.einsum("m,mki,mk->i", w, J, e)
         Hd = H + st.lam * jnp.eye(6, dtype=H.dtype)
-        delta = -jnp.linalg.solve(Hd, g)
+        delta = -cholesky_solve(Hd, g)
         cand = se3.normalize(se3.compose(se3.exp(delta), st.pose))
         new_cost = total_cost(cand)
         accept = new_cost < st.cost
+        converged = accept & (st.cost - new_cost <= rtol * (st.cost + 1e-20))
         return _LMState(
             pose=jnp.where(accept, cand, st.pose),
             lam=jnp.where(accept, st.lam * 0.33, st.lam * 5.0),
             cost=jnp.where(accept, new_cost, st.cost),
+            it=st.it + 1,
+            done=converged | (st.lam > 1e8),
         )
 
     init = _LMState(
-        pose=pose0, lam=jnp.asarray(1e-3, pts_w.dtype), cost=total_cost(pose0)
+        pose=pose0,
+        lam=jnp.asarray(1e-3, pts_w.dtype),
+        cost=total_cost(pose0),
+        it=jnp.int32(0),
+        done=jnp.asarray(False),
     )
-    return jax.lax.fori_loop(0, iterations, body, init).pose
+    return jax.lax.while_loop(cond, body, init).pose
 
 
 class PoseRefineResult(NamedTuple):

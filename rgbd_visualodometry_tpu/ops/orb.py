@@ -88,16 +88,20 @@ class ORBFeatures(NamedTuple):
 
 
 def _extract_patches(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
-    """Gather [K, PATCH, PATCH] patches centered at integer coords xy."""
+    """Gather [K, PATCH, PATCH] patches centered at integer coords xy.
+
+    One flat gather over the padded image (rows then a row-window gather)
+    lowers much better on TPU than K vmapped dynamic_slices.
+    """
     padded = jnp.pad(img, PATCH_R, mode="edge")
-
-    def one(pt):
-        # center (x, y) maps to padded top-left (y, x)
-        return jax.lax.dynamic_slice(
-            padded, (pt[1], pt[0]), (PATCH, PATCH)
-        )
-
-    return jax.vmap(one)(xy)
+    ph, pw = padded.shape
+    # rows: [K, PATCH, pw] via row gather, then columns via take_along_axis
+    row_idx = xy[:, 1:2] + jnp.arange(PATCH)[None, :]  # [K, PATCH] (top row = y)
+    rows = jnp.take(padded, row_idx.reshape(-1), axis=0).reshape(
+        xy.shape[0], PATCH, pw
+    )
+    col_idx = xy[:, 0:1] + jnp.arange(PATCH)[None, :]  # [K, PATCH]
+    return jnp.take_along_axis(rows, col_idx[:, None, :], axis=2)
 
 
 def _orientations(patches: jnp.ndarray) -> jnp.ndarray:

@@ -86,6 +86,42 @@ def inv3x3(A: jnp.ndarray) -> jnp.ndarray:
     return adj / det[..., None, None]
 
 
+def cholesky_solve(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve SPD systems ``A x = b`` with a fully unrolled Cholesky.
+
+    A: [..., n, n] (n static, intended n <= 8), b: [..., n].  Unrolled
+    scalar recurrences compile to a handful of fused VPU ops - much cheaper
+    inside an LM iteration loop than a general LU ``jnp.linalg.solve``.
+    """
+    n = A.shape[-1]
+    eps = jnp.asarray(1e-12, A.dtype)
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = A[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, eps))
+            else:
+                L[i][j] = s / L[j][j]
+    # forward substitution L y = b
+    y = [None] * n
+    for i in range(n):
+        s = b[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    # back substitution L^T x = y
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1)
+
+
 def kabsch_quat(world: jnp.ndarray, cam: jnp.ndarray) -> jnp.ndarray:
     """Horn's closed-form absolute orientation: find pose [..., 7] with
     ``cam ~= R @ world + t`` from point sets ``[..., k, 3]``.

@@ -47,22 +47,101 @@ class FrameInput(NamedTuple):
 
 
 class StepOutput(NamedTuple):
-    pose_c_w: jnp.ndarray  # [7] estimated T_c_w of this frame
-    pose_w_c: jnp.ndarray  # [7] inverse - what run_vo writes (run_vo.cpp:116)
-    tracked: jnp.ndarray  # bool - the AddFrame return value
-    fsm: jnp.ndarray  # int32 state AFTER this frame
-    is_keyframe: jnp.ndarray  # bool
-    needs_ba: jnp.ndarray  # bool - host should dispatch local BA
-    kf_slot: jnp.ndarray  # int32 slot of the inserted keyframe (if any)
-    # stage counters mirroring the reference's stdout logs (SURVEY.md sec. 5)
-    num_candidates: jnp.ndarray  # mptCandidates.size()
-    num_matches: jnp.ndarray  # flannMatchedMptKptMap_.size()
-    num_inliers: jnp.ndarray  # RANSAC inliers (numInliers_)
-    num_final_inliers: jnp.ndarray  # post-BA chi2 inliers
-    num_new_mappoints: jnp.ndarray  # CreateNewMappoints count
-    num_triangulated: jnp.ndarray  # TriangulateMappointsInTrackingMap count
-    num_keyframes: jnp.ndarray
-    num_mappoints: jnp.ndarray
+    """Per-frame result, stored as ONE packed f32 vector.
+
+    A single leaf means materializing a frame result costs exactly one
+    device->host transfer; with a NamedTuple of ~16 scalar leaves,
+    ``device_get`` paid one link round-trip per leaf (tens of ms over a
+    tunneled TPU).  All integer fields fit float32 exactly (< 2^24).
+    Property accessors use ``[..., i]`` indexing so batched (vmapped)
+    outputs keep working.
+    """
+
+    packed: jnp.ndarray  # [32] float32 (leading batch dims allowed)
+
+    # layout
+    _POSE_C_W = slice(0, 7)
+    _POSE_W_C = slice(7, 14)
+    _FIELDS = {
+        "tracked": 14, "fsm": 15, "is_keyframe": 16, "needs_ba": 17,
+        "kf_slot": 18, "num_candidates": 19, "num_matches": 20,
+        "num_inliers": 21, "num_final_inliers": 22, "num_new_mappoints": 23,
+        "num_triangulated": 24, "num_keyframes": 25, "num_mappoints": 26,
+    }
+    SIZE = 32
+
+    @classmethod
+    def pack(cls, pose_c_w, pose_w_c, **fields) -> "StepOutput":
+        parts = [pose_c_w, pose_w_c]
+        vals = jnp.stack(
+            [jnp.asarray(fields[k], jnp.float32) for k in cls._FIELDS], axis=-1
+        )
+        pad = jnp.zeros(vals.shape[:-1] + (cls.SIZE - 14 - len(cls._FIELDS),), jnp.float32)
+        return cls(packed=jnp.concatenate(parts + [vals, pad], axis=-1))
+
+    # ---- accessors (device- and host-side, batched or not) ---------------
+    @property
+    def pose_c_w(self):
+        return self.packed[..., self._POSE_C_W]
+
+    @property
+    def pose_w_c(self):
+        return self.packed[..., self._POSE_W_C]
+
+    def _field(self, name):
+        return self.packed[..., self._FIELDS[name]]
+
+    @property
+    def tracked(self):
+        return self._field("tracked") > 0.5
+
+    @property
+    def fsm(self):
+        return self._field("fsm").astype(jnp.int32)
+
+    @property
+    def is_keyframe(self):
+        return self._field("is_keyframe") > 0.5
+
+    @property
+    def needs_ba(self):
+        return self._field("needs_ba") > 0.5
+
+    @property
+    def kf_slot(self):
+        return self._field("kf_slot").astype(jnp.int32)
+
+    @property
+    def num_candidates(self):
+        return self._field("num_candidates").astype(jnp.int32)
+
+    @property
+    def num_matches(self):
+        return self._field("num_matches").astype(jnp.int32)
+
+    @property
+    def num_inliers(self):
+        return self._field("num_inliers").astype(jnp.int32)
+
+    @property
+    def num_final_inliers(self):
+        return self._field("num_final_inliers").astype(jnp.int32)
+
+    @property
+    def num_new_mappoints(self):
+        return self._field("num_new_mappoints").astype(jnp.int32)
+
+    @property
+    def num_triangulated(self):
+        return self._field("num_triangulated").astype(jnp.int32)
+
+    @property
+    def num_keyframes(self):
+        return self._field("num_keyframes").astype(jnp.int32)
+
+    @property
+    def num_mappoints(self):
+        return self._field("num_mappoints").astype(jnp.int32)
 
 
 def _match_and_estimate(cfg: VOConfig, camera, state: VOState, feats, kp_cam, dep, tmap, pose, key):
@@ -219,9 +298,9 @@ def track_step(cfg: VOConfig, camera, state: VOState, frame: FrameInput):
         frame_index=state.frame_index + 1,
     )
 
-    out = StepOutput(
-        pose_c_w=pose_used,
-        pose_w_c=se3.inverse(pose_used),
+    out = StepOutput.pack(
+        pose_used,
+        se3.inverse(pose_used),
         tracked=good | is_init,
         fsm=fsm,
         is_keyframe=is_kf,

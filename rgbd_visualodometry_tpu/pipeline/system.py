@@ -7,11 +7,13 @@ Latency design - the host<->device link may be high-latency (this
 environment tunnels to the TPU), so the steady-state loop performs **zero
 synchronous host round-trips per frame**:
 
-- tracking step and local BA are fused into ONE jitted program; the
-  keyframe decision selects the BA branch with ``lax.cond`` *on device*
-  (the reference's backend thread + condvar, ``backend.h:33-37``, becomes a
-  device-side predicated call - "latest keyframe wins" trivially holds
-  because BA runs in-line with its own keyframe),
+- tracking and local BA are two cached programs on the same in-order
+  device queue; BA is dispatched (without blocking) when a keyframe's
+  lagged output is materialized, optimizing whatever the latest map state
+  is by then - the direct analogue of the reference's backend thread +
+  condvar ("latest keyframe wins", ``backend.h:33-37``).  A device-side
+  ``lax.cond`` fusion was tried and rejected: XLA's conditional copies the
+  whole ~200 MB state through the identity branch every frame (~14 ms),
 - frame inputs are enqueued with async ``device_put``/dispatch,
 - outputs are materialized with a configurable lag (default 3 frames), so
   LOST detection trails by at most that many frames - the trailing frames
@@ -39,16 +41,6 @@ from rgbd_visualodometry_tpu.pipeline import backend as backend_mod
 from rgbd_visualodometry_tpu.pipeline import frontend as frontend_mod
 
 
-def step_with_ba(cfg: VOConfig, camera, state, frame):
-    """Tracking step + device-side conditional local BA (one XLA program)."""
-    state, out = frontend_mod.track_step(cfg, camera, state, frame)
-    if cfg.enable_local_optimization:
-        def do_ba(s):
-            s2, _ = backend_mod.ba_step(cfg, camera, s, out.kf_slot)
-            return s2
-
-        state = jax.lax.cond(out.needs_ba, do_ba, lambda s: s, state)
-    return state, out
 
 
 @dataclass
@@ -86,8 +78,14 @@ class VisualOdometry:
         self.device = device or jax.devices()[0]
         self.state = jax.device_put(mapstate.init_state(cfg, seed), self.device)
         self._step = jax.jit(
-            functools.partial(step_with_ba, cfg, self.camera), donate_argnums=0
+            functools.partial(frontend_mod.track_step, cfg, self.camera),
+            donate_argnums=0,
         )
+        self._ba = jax.jit(
+            functools.partial(backend_mod.ba_step, cfg, self.camera),
+            donate_argnums=0,
+        )
+        self.enable_backend = bool(cfg.enable_local_optimization)
         self.results: list[FrameResult] = []
         self._pending: collections.deque = collections.deque()
 
@@ -106,6 +104,10 @@ class VisualOdometry:
 
     def _materialize(self, ts: float, out, dispatch_s: float) -> FrameResult:
         o = jax.device_get(out)  # ONE host transfer for the whole record
+        if self.enable_backend and bool(o.needs_ba):
+            # async backend dispatch on the lagged keyframe ("latest state
+            # wins"); the device queue serializes it after in-flight steps
+            self.state, _ = self._ba(self.state, jnp.int32(int(o.kf_slot)))
         res = FrameResult(
             timestamp=ts,
             tracked=bool(o.tracked),

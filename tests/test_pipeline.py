@@ -103,6 +103,17 @@ def test_stats_mirror_reference_logs(scene):
     assert s1["num_candidates"] > 0
 
 
+def test_single_compilation(scene):
+    """The step function must compile exactly once for a whole sequence -
+    branchy per-frame behavior (init/keyframe/lost) lives in masks, never in
+    Python control flow that would retrace."""
+    cfg = small_cfg()
+    seq = synthetic.generate_sequence(8, scene=scene)
+    vo = VisualOdometry(cfg)
+    vo.run((f.rgb, f.depth, f.timestamp) for f in seq)
+    assert vo._step._cache_size() == 1
+
+
 def test_trajectory_file_written(tmp_path, scene):
     cfg = small_cfg()
     seq = synthetic.generate_sequence(5, scene=scene)

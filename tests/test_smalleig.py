@@ -40,6 +40,18 @@ def test_inv3x3():
     )
 
 
+def test_cholesky_solve():
+    rng = np.random.default_rng(6)
+    for n in (3, 6):
+        X = rng.standard_normal((32, n, n)).astype(np.float32)
+        A = np.einsum("bij,bkj->bik", X, X) + np.eye(n, dtype=np.float32) * n
+        b = rng.standard_normal((32, n)).astype(np.float32)
+        x = np.asarray(smalleig.cholesky_solve(jnp.asarray(A), jnp.asarray(b)))
+        np.testing.assert_allclose(
+            np.einsum("bij,bj->bi", A, x), b, atol=1e-3
+        )
+
+
 def test_kabsch_quat_exact():
     rng = np.random.default_rng(3)
     from scipy.spatial.transform import Rotation
