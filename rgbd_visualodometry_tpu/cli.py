@@ -33,6 +33,9 @@ def main(argv=None):
     ap.add_argument("--no-backend", action="store_true", help="disable local BA")
     ap.add_argument("--quiet", action="store_true")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--save-map", metavar="NPZ", help="checkpoint the final map state")
+    ap.add_argument("--load-map", metavar="NPZ", help="resume from a map checkpoint")
+    ap.add_argument("--stats", metavar="JSONL", help="write per-frame stats records")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -76,9 +79,24 @@ def main(argv=None):
         frames = itertools.islice(frames, args.max_frames)
 
     vo = VisualOdometry(cfg)
+    if args.load_map:
+        import jax
+
+        from rgbd_visualodometry_tpu.io.checkpoint import load_state
+
+        state, _ = load_state(args.load_map)
+        vo.state = jax.device_put(state, vo.device)
     t0 = time.perf_counter()
-    results = vo.run(frames, trajectory_path=cfg.output_file, verbose=not args.quiet)
+    results = vo.run(
+        frames, trajectory_path=cfg.output_file, verbose=not args.quiet,
+        stats_path=args.stats,
+    )
     wall = time.perf_counter() - t0
+    if args.save_map:
+        from rgbd_visualodometry_tpu.io.checkpoint import save_state
+
+        save_state(vo.state, cfg, args.save_map)
+        print(f"map checkpoint written to {args.save_map}")
 
     tracked = sum(r.tracked for r in results)
     steady = [r.step_seconds for r in results[2:]]  # skip compile frames

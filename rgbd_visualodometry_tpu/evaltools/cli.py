@@ -1,0 +1,92 @@
+"""Evaluation command line - the ``tools/evaluate_*.py`` entry points.
+
+Usage (mirrors the reference tools' argument order):
+
+    python -m rgbd_visualodometry_tpu.evaltools.cli ate GROUNDTRUTH EST
+    python -m rgbd_visualodometry_tpu.evaltools.cli rpe GROUNDTRUTH EST --delta 1.0
+    python -m rgbd_visualodometry_tpu.evaltools.cli associate RGB_TXT DEPTH_TXT
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="rgbd-vo-eval", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    a = sub.add_parser("ate", help="absolute trajectory error (Horn alignment)")
+    a.add_argument("groundtruth")
+    a.add_argument("estimate")
+    a.add_argument("--max_difference", type=float, default=0.02)
+    a.add_argument("--offset", type=float, default=0.0)
+    a.add_argument("--verbose", action="store_true")
+
+    r = sub.add_parser("rpe", help="relative pose error")
+    r.add_argument("groundtruth")
+    r.add_argument("estimate")
+    r.add_argument("--delta", type=float, default=1.0)
+    r.add_argument("--max_pairs", type=int, default=10000)
+
+    s = sub.add_parser("associate", help="timestamp association")
+    s.add_argument("first_file")
+    s.add_argument("second_file")
+    s.add_argument("--offset", type=float, default=0.0)
+    s.add_argument("--max_difference", type=float, default=0.02)
+
+    args = ap.parse_args(argv)
+
+    from rgbd_visualodometry_tpu.io.trajectory import read_trajectory
+    from rgbd_visualodometry_tpu.io.tum import associate, read_file_list
+
+    if args.cmd == "ate":
+        from rgbd_visualodometry_tpu.evaltools import absolute_trajectory_error
+
+        gt_ts, gt = read_trajectory(args.groundtruth)
+        est_ts, est = read_trajectory(args.estimate)
+        res = absolute_trajectory_error(
+            est_ts, est[:, 4:7], gt_ts, gt[:, 4:7],
+            max_difference=args.max_difference, offset=args.offset,
+        )
+        if args.verbose:
+            print(f"compared_pose_pairs {res.num_pairs} pairs")
+            print(f"absolute_translational_error.rmse {res.rmse:.6f} m")
+            print(f"absolute_translational_error.mean {res.mean:.6f} m")
+            print(f"absolute_translational_error.median {res.median:.6f} m")
+            print(f"absolute_translational_error.std {res.std:.6f} m")
+            print(f"absolute_translational_error.min {res.min:.6f} m")
+            print(f"absolute_translational_error.max {res.max:.6f} m")
+        else:
+            print(f"{res.rmse:.6f}")
+    elif args.cmd == "rpe":
+        from rgbd_visualodometry_tpu.evaltools import relative_pose_error
+
+        gt_ts, gt = read_trajectory(args.groundtruth)
+        est_ts, est = read_trajectory(args.estimate)
+        res = relative_pose_error(
+            est_ts, est, gt_ts, gt, delta=args.delta, max_pairs=args.max_pairs
+        )
+        print(f"compared_pose_pairs {res.num_pairs} pairs")
+        print(f"translational_error.rmse {res.trans_rmse:.6f} m")
+        print(f"translational_error.mean {res.trans_mean:.6f} m")
+        print(f"translational_error.median {res.trans_median:.6f} m")
+        print(f"rotational_error.rmse {np.degrees(res.rot_rmse):.6f} deg")
+        print(f"rotational_error.mean {np.degrees(res.rot_mean):.6f} deg")
+    elif args.cmd == "associate":
+        first = read_file_list(args.first_file)
+        second = read_file_list(args.second_file)
+        ft, st = sorted(first), sorted(second)
+        for i, j in associate(ft, st, args.offset, args.max_difference):
+            print(
+                f"{ft[i]:.6f} {' '.join(first[ft[i]])} "
+                f"{st[j]:.6f} {' '.join(second[st[j]])}"
+            )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

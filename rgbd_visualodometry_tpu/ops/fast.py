@@ -43,17 +43,21 @@ def fast_score(gray: jnp.ndarray) -> jnp.ndarray:
     diffs = jnp.stack(
         [p[3 + dy : 3 + dy + h, 3 + dx : 3 + dx + w] - gray for dy, dx in _CIRCLE]
     )
-    doubled = jnp.concatenate([diffs, diffs[: ARC_LENGTH - 1]], axis=0)
+    doubled = jnp.concatenate([diffs, diffs[: ARC_LENGTH - 1]], axis=0)  # [24,...]
 
-    big = jnp.asarray(jnp.inf, gray.dtype)
-    bright = jnp.full((h, w), -big)
-    dark = jnp.full((h, w), -big)
-    for s in range(16):
-        arc = doubled[s : s + ARC_LENGTH]
-        # min over the arc: > t  <=>  every ring pixel brighter than I_p + t
-        bright = jnp.maximum(bright, jnp.min(arc, axis=0))
-        # max over the arc: < -t <=>  every ring pixel darker than I_p - t
-        dark = jnp.maximum(dark, jnp.min(-arc, axis=0))
+    # sliding-window min/max over all 16 arcs of length 9 via a log-step
+    # tree (4 stacked ops each) instead of 16 x 9 pairwise reductions -
+    # ~30x fewer traced operations, same numerics
+    def window9(x, op):
+        m2 = op(x[:-1], x[1:])  # width 2
+        m4 = op(m2[:-2], m2[2:])  # width 4
+        m8 = op(m4[:-4], m4[4:])  # width 8
+        return op(m8[:16], x[8:24])  # width 9, one per arc start
+
+    arc_min = window9(doubled, jnp.minimum)  # [16, H, W]
+    arc_max = window9(doubled, jnp.maximum)
+    bright = jnp.max(arc_min, axis=0)  # best all-brighter arc
+    dark = jnp.max(-arc_max, axis=0)  # best all-darker arc
     return jnp.maximum(jnp.maximum(bright, dark), 0.0)
 
 

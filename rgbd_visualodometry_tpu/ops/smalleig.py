@@ -29,10 +29,13 @@ def jacobi_eigh_sym(A: jnp.ndarray, sweeps: int = 8):
     with a static sweep count; for n <= 6 and float32, ``sweeps=8`` reaches
     machine precision.
     """
-    n = A.shape[-1]
-    V = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape).copy()
+    import jax
 
-    for _ in range(sweeps):
+    n = A.shape[-1]
+    V = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape)
+
+    def one_sweep(_, AV):
+        A, V = AV
         for p in range(n - 1):
             for q in range(p + 1, n):
                 app = A[..., p, p]
@@ -56,6 +59,10 @@ def jacobi_eigh_sym(A: jnp.ndarray, sweeps: int = 8):
                 Vq = V[..., :, q]
                 V = V.at[..., :, p].set(c * Vp - s * Vq)
                 V = V.at[..., :, q].set(s * Vp + c * Vq)
+        return A, V
+
+    # sweeps in a fori_loop: traces one sweep instead of all of them
+    A, V = jax.lax.fori_loop(0, sweeps, one_sweep, (A, V))
 
     w = jnp.diagonal(A, axis1=-2, axis2=-1)
     order = jnp.argsort(w, axis=-1)
