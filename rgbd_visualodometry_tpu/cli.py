@@ -71,7 +71,12 @@ def main(argv=None):
             ap.error("no dataset_dir in config and no --synthetic given")
         from rgbd_visualodometry_tpu.io.tum import iter_dataset
 
-        frames = ((rgb, depth, rec.timestamp) for rec, rgb, depth in iter_dataset(cfg.dataset_dir))
+        frames = (
+            (rgb, depth, rec.timestamp)
+            for rec, rgb, depth in iter_dataset(
+                cfg.dataset_dir, width=cfg.image_width, height=cfg.image_height
+            )
+        )
 
     if args.max_frames:
         import itertools
@@ -127,8 +132,11 @@ def main(argv=None):
         gt_ts, gt_poses = read_trajectory(args.evaluate)
         ate = absolute_trajectory_error(est_ts, est_poses[:, 4:7], gt_ts, gt_poses[:, 4:7])
         print(f"ATE rmse: {ate.rmse:.4f} m (mean {ate.mean:.4f}, median {ate.median:.4f}, n={ate.num_pairs})")
-        rpe = relative_pose_error(est_ts, est_poses, gt_ts, gt_poses, delta=1.0)
-        print(f"RPE(1s): trans rmse {rpe.trans_rmse:.4f} m, rot rmse {np.degrees(rpe.rot_rmse):.3f} deg (n={rpe.num_pairs})")
+        try:
+            rpe = relative_pose_error(est_ts, est_poses, gt_ts, gt_poses, delta=1.0)
+            print(f"RPE(1s): trans rmse {rpe.trans_rmse:.4f} m, rot rmse {np.degrees(rpe.rot_rmse):.3f} deg (n={rpe.num_pairs})")
+        except ValueError as e:
+            print(f"RPE(1s): not computable ({e})")
 
     return 0 if (results and not vo.lost) else 1
 
