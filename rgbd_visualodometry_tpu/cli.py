@@ -103,6 +103,15 @@ def main(argv=None):
         save_state(vo.state, cfg, args.save_map)
         print(f"map checkpoint written to {args.save_map}")
 
+    if cfg.enable_viewer:
+        # host-side viewer (the reference's enable_viewer flag,
+        # run_vo.cpp:76-80): render the final map + trajectory
+        from rgbd_visualodometry_tpu.viz import MapViewer
+
+        traj = np.asarray([r.pose_w_c[4:7] for r in results if r.tracked])
+        path = MapViewer("viewer_out").render_map(vo.map_snapshot(), trajectory=traj)
+        print(f"map rendered to {path}")
+
     tracked = sum(r.tracked for r in results)
     steady = [r.step_seconds for r in results[2:]]  # skip compile frames
     print(

@@ -46,6 +46,9 @@ class MapViewer:
             ax.scatter(pts[:, 0], pts[:, 1], s=1, c=pts[:, 2], cmap="viridis")
         if trajectory is not None and len(trajectory):
             ax.plot(trajectory[:, 0], trajectory[:, 1], "r-", lw=1.5, label="trajectory")
+            # current-camera frustum in red (the DrawFrame analogue,
+            # viewer.cpp:89-136), drawn for the last pose
+            self._draw_frustum_2d(ax, trajectory[-1], kf)
             ax.legend()
         ax.set_xlabel("x [m]")
         ax.set_ylabel("y [m]")
@@ -67,6 +70,31 @@ class MapViewer:
         fig.savefig(path, dpi=110)
         plt.close(fig)
         return path
+
+    @staticmethod
+    def _draw_frustum_2d(ax, cam_pos, kf_poses):
+        """Project a simple frustum wedge for the current camera into the
+        top-down view (direction from the latest keyframe orientation)."""
+        import numpy as np
+
+        if kf_poses is None or not len(kf_poses):
+            return
+        q = kf_poses[-1][:4]  # T_c_w of latest keyframe
+        w, x, y, z = q
+        # camera forward (+z of camera) in world = third row of R_c_w^T
+        fwd = np.array(
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)]
+        )
+        side = np.array([fwd[1], -fwd[0], 0.0])
+        n = np.linalg.norm(side)
+        side = side / n if n > 1e-6 else np.array([1.0, 0, 0])
+        tip = np.asarray(cam_pos[:3])
+        a = tip + 0.25 * fwd[:3] + 0.12 * side
+        b = tip + 0.25 * fwd[:3] - 0.12 * side
+        ax.plot(
+            [a[0], tip[0], b[0]], [a[1], tip[1], b[1]], "r-", lw=1.0,
+            label="camera",
+        )
 
     @staticmethod
     def draw_keypoints(rgb: np.ndarray, xy: np.ndarray, valid: np.ndarray | None = None, radius: int = 2) -> np.ndarray:
