@@ -90,7 +90,7 @@ def bench_multistream(cfg) -> float:
     from rgbd_visualodometry_tpu.parallel import MultiStreamVO, make_mesh
 
     mcfg = cfg.replace(
-        max_mappoints=32768, max_keyframes=128, max_obs_per_mappoint=8,
+        max_mappoints=16384, max_keyframes=128, max_obs_per_mappoint=8,
         ba_max_points=2048, ba_max_poses=8,
         enable_local_optimization=False,  # frontend-only (BASELINE config 1)
     )

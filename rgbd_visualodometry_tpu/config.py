@@ -96,9 +96,18 @@ class VOConfig:
     # ---- quality gates (frontend.cpp:334-364) ----
     max_motion_norm: float = 5.0
 
+    # ---- relocalization (net-new: the reference stays LOST forever,
+    #      frontend.cpp:146-148) ----
+    # While LOST, match against the whole map without a frustum filter and
+    # re-enter TRACKING when the refined pose has enough inliers.
+    enable_relocalization: bool = True
+    reloc_min_inliers: int = 30
+
     # ---- fixed capacities of the functional map state ----
+    # Sized for whole TUM fr1-class sequences: ~400 keyframes, tens of
+    # thousands of live landmarks (outlier slots are recycled).
     max_keyframes: int = 512
-    max_mappoints: int = 131072
+    max_mappoints: int = 65536
     max_obs_per_mappoint: int = 16
 
     # ---- triangulation (util.h:16-34, frontend.cpp:465-506) ----

@@ -144,16 +144,20 @@ class StepOutput(NamedTuple):
         return self._field("num_mappoints").astype(jnp.int32)
 
 
-def _match_and_estimate(cfg: VOConfig, camera, state: VOState, feats, kp_cam, dep, tmap, pose, key):
+def _match_and_estimate(cfg: VOConfig, camera, state: VOState, feats, kp_cam, dep, tmap, pose, key, is_lost):
     """One coarse-or-fine round: candidates -> match -> RANSAC -> LM.
 
     The reference runs this twice per frame (``frontend.cpp:100-108``); the
     second round benefits from the refreshed pose in the frustum filter.
+    While LOST (relocalization), the frustum/angle filter is bypassed and
+    the whole alive map is the candidate set - the stale pose means nothing.
     """
     observable = cam_mod.in_frustum(
         camera, state.mp_pos, pose, state.mp_norm, cfg.max_observe_angle
     )
     cand = tmap & observable  # outliers already excluded from tmap
+    if cfg.enable_relocalization:
+        cand = jnp.where(is_lost, state.mp_alive, cand)
     mres = matching.match_descriptors(
         state.mp_bip, cand, feats.desc_bipolar, feats.valid,
         cfg.match_ratio, cfg.min_match_distance,
@@ -200,6 +204,7 @@ def track_step(cfg: VOConfig, camera, state: VOState, frame: FrameInput):
 
     is_init = state.fsm == INITIALIZING
     is_tracking = state.fsm == TRACKING
+    is_lost = state.fsm == LOST
 
     rng, k1, k2 = jax.random.split(state.rng, 3)
     state = state._replace(rng=rng)
@@ -207,14 +212,21 @@ def track_step(cfg: VOConfig, camera, state: VOState, frame: FrameInput):
     # ---- coarse + fine pose estimation (masked no-op while INITIALIZING:
     # the empty candidate set makes LM a fixed point of the seed pose) ------
     tmap = mapstate.tracking_map_mask(state, cfg)
-    pose_c, _ = _match_and_estimate(cfg, camera, state, feats, kp_cam, dep, tmap, state.prev_pose, k1)
-    pose_f, info = _match_and_estimate(cfg, camera, state, feats, kp_cam, dep, tmap, pose_c, k2)
+    pose_c, _ = _match_and_estimate(cfg, camera, state, feats, kp_cam, dep, tmap, state.prev_pose, k1, is_lost)
+    pose_f, info = _match_and_estimate(cfg, camera, state, feats, kp_cam, dep, tmap, pose_c, k2, is_lost)
 
     # ---- quality gate (IsGoodEstimation, frontend.cpp:334-351) -----------
     rel = se3.log(se3.relative(state.prev_pose, pose_f))
     motion_ok = jnp.linalg.norm(rel) <= cfg.max_motion_norm
     enough_inliers = info["rr"].num_inliers >= cfg.min_inliers
-    good = is_tracking & enough_inliers & motion_ok
+    good_track = is_tracking & enough_inliers & motion_ok
+    # relocalization gate: stricter, on the post-BA inlier set, no motion
+    # check (the stale prev_pose means nothing while LOST)
+    if cfg.enable_relocalization:
+        reloc_good = is_lost & (info["ref"].num_final_inliers >= cfg.reloc_min_inliers)
+    else:
+        reloc_good = jnp.asarray(False)
+    good = good_track | reloc_good
 
     lost_inc = 2 if cfg.compat_double_lost_increment else 1
     lost_count = jnp.where(
@@ -225,11 +237,14 @@ def track_step(cfg: VOConfig, camera, state: VOState, frame: FrameInput):
         TRACKING,
         jnp.where(is_tracking & ~good & (lost_count > cfg.max_num_lost), LOST, state.fsm),
     )
+    fsm = jnp.where(reloc_good, TRACKING, fsm)
 
     # ---- keyframe policy (IsKeyframe, frontend.cpp:353-364) --------------
     trans_norm = jnp.linalg.norm(rel[:3])
     rot_norm = jnp.linalg.norm(rel[3:])
-    is_kf = good & ((rot_norm > cfg.keyframe_rotation) | (trans_norm > cfg.keyframe_translation))
+    is_kf = (
+        good & ((rot_norm > cfg.keyframe_rotation) | (trans_norm > cfg.keyframe_translation))
+    ) | reloc_good  # a relocalized frame re-anchors the map as a keyframe
     do_insert = is_init | is_kf
 
     pose_used = jnp.where(is_init, se3.identity(jnp.float32), pose_f)

@@ -199,11 +199,15 @@ class VisualOdometry:
                     writer.write(res.timestamp, res.pose_w_c)
             written = len(self.results)
 
+        # the reference aborts on LOST (run_vo.cpp:111-114); with
+        # relocalization enabled we keep feeding frames so the tracker can
+        # re-enter TRACKING from the map
+        stop_on_lost = not self.cfg.enable_relocalization
         try:
             for rgb, depth, ts in frames:
                 self.process_async(rgb, depth, ts)
                 flush(lag)
-                if self.lost:
+                if stop_on_lost and self.lost:
                     break
             flush(0)
         finally:

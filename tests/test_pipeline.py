@@ -72,7 +72,9 @@ def test_frontend_only_mode(scene):
 
 
 def test_goes_lost_on_garbage_and_stays_lost(scene):
-    cfg = small_cfg(max_num_lost=2)
+    """Strict reference behavior: LOST is terminal (LostHandler,
+    frontend.cpp:146-148) when relocalization is disabled."""
+    cfg = small_cfg(max_num_lost=2, enable_relocalization=False)
     seq = synthetic.generate_sequence(3, scene=scene)
     vo = VisualOdometry(cfg)
     for f in seq:
@@ -85,9 +87,30 @@ def test_goes_lost_on_garbage_and_stays_lost(scene):
         if res.fsm == LOST:
             break
     assert vo.lost
-    # reference stays LOST forever (LostHandler, frontend.cpp:146-148)
     res = vo.process(seq[0].rgb, seq[0].depth, 99.0)
     assert res.fsm == LOST and not res.tracked
+
+
+def test_relocalization_recovers_from_lost(scene):
+    """Net-new capability: with relocalization on (default), a LOST tracker
+    re-enters TRACKING when known content reappears, with a correct pose."""
+    cfg = small_cfg(max_num_lost=2)
+    seq = synthetic.generate_sequence(4, scene=scene)
+    vo = VisualOdometry(cfg)
+    for f in seq:
+        vo.process(f.rgb, f.depth, f.timestamp)
+    black = np.zeros((240, 320, 3), np.uint8)
+    for i in range(5):
+        res = vo.process(black, np.zeros((240, 320), np.uint16), 1.0 + i)
+        if res.fsm == LOST:
+            break
+    assert vo.lost
+    # revisit a known view (frame 1's pose)
+    res = vo.process(seq[1].rgb, seq[1].depth, 99.0)
+    assert res.fsm == TRACKING and res.tracked
+    assert res.is_keyframe  # relocalized frame re-anchors the map
+    err = np.linalg.norm(res.pose_c_w[4:] - seq[1].T_c_w[4:])
+    assert err < 0.05, f"reloc pose error {err}"
 
 
 def test_stats_mirror_reference_logs(scene):
