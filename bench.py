@@ -35,7 +35,7 @@ import numpy as np
 REFERENCE_FPS_ESTIMATE = 30.0
 WARMUP_FRAMES = 12
 MEASURE_FRAMES = 60
-N_STREAMS = 4  # multi-stream phase
+N_STREAMS = 2  # multi-stream phase (batch 4 faults the axon TPU runtime)
 
 
 def _make_frames(cfg, n, seed=0):
