@@ -113,11 +113,8 @@ def main(argv=None):
         print(f"map rendered to {path}")
 
     tracked = sum(r.tracked for r in results)
-    steady = [r.step_seconds for r in results[2:]]  # skip compile frames
-    print(
-        f"\n{tracked}/{len(results)} frames tracked in {wall:.1f} s"
-        + (f" ({1.0 / np.mean(steady):.1f} FPS steady-state)" if steady else "")
-    )
+    print(f"\n{tracked}/{len(results)} frames tracked in {wall:.1f} s "
+          f"({len(results) / wall:.1f} FPS incl. compile)")
     print(f"trajectory written to {cfg.output_file}")
 
     if gt is not None:
