@@ -113,6 +113,24 @@ def test_relocalization_recovers_from_lost(scene):
     assert err < 0.05, f"reloc pose error {err}"
 
 
+@pytest.mark.parametrize(
+    "fx,fy,cx,cy",
+    [
+        (260.45, 260.5, 162.55, 124.85),  # fr2-like intrinsics (halved)
+        (267.7, 269.6, 160.2, 123.7),  # fr3-like intrinsics (halved)
+    ],
+)
+def test_tracks_other_freiburg_intrinsics(fx, fy, cx, cy):
+    """BASELINE config 4: the pipeline must work across fr1/fr2/fr3-style
+    camera calibrations, not just the fr1 defaults."""
+    cfg = small_cfg(camera_fx=fx, camera_fy=fy, camera_cx=cx, camera_cy=cy)
+    sc = synthetic.SyntheticScene(width=320, height=240, fx=fx, fy=fy, cx=cx, cy=cy)
+    seq = synthetic.generate_sequence(10, scene=sc)
+    vo, results = run_sequence(cfg, seq)
+    assert all(r.tracked for r in results)
+    assert ate_of(results, seq).rmse < 0.03
+
+
 def test_stats_mirror_reference_logs(scene):
     cfg = small_cfg()
     seq = synthetic.generate_sequence(6, scene=scene)
