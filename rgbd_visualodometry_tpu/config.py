@@ -84,6 +84,11 @@ class VOConfig:
     # Set False for strict reference-parity behavior.
     ba_use_depth_prior: bool = True
     ba_depth_weight: float = 0.5
+    # "Latest keyframe wins" coalescing: the reference's backend thread
+    # drops keyframes that arrive while it is busy (condvar without a queue,
+    # backend.cpp:8-17).  0 = optimize every keyframe; N > 0 = skip BA if
+    # fewer than N frames passed since the last solve (throughput mode).
+    ba_min_frame_gap: int = 0
     ba_max_poses: int = 16  # covisible-window pose capacity (padded)
     ba_max_points: int = 8192  # mappoint capacity inside one BA solve
     ba_max_edges: int = 16384  # observation-edge capacity inside one BA solve

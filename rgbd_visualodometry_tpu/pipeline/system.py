@@ -88,6 +88,7 @@ class VisualOdometry:
         self.enable_backend = bool(cfg.enable_local_optimization)
         self.results: list[FrameResult] = []
         self._pending: collections.deque = collections.deque()
+        self._frames_since_ba = 1 << 30
 
     # ---- async pipeline --------------------------------------------------
 
@@ -104,10 +105,18 @@ class VisualOdometry:
 
     def _materialize(self, ts: float, out, dispatch_s: float) -> FrameResult:
         o = jax.device_get(out)  # ONE host transfer for the whole record
-        if self.enable_backend and bool(o.needs_ba):
+        self._frames_since_ba += 1
+        if (
+            self.enable_backend
+            and bool(o.needs_ba)
+            and self._frames_since_ba > self.cfg.ba_min_frame_gap
+        ):
             # async backend dispatch on the lagged keyframe ("latest state
-            # wins"); the device queue serializes it after in-flight steps
+            # wins"); the device queue serializes it after in-flight steps.
+            # ba_min_frame_gap reproduces the reference backend's keyframe
+            # coalescing under load (backend.cpp:8-17)
             self.state, _ = self._ba(self.state, jnp.int32(int(o.kf_slot)))
+            self._frames_since_ba = 0
         res = FrameResult(
             timestamp=ts,
             tracked=bool(o.tracked),
