@@ -198,13 +198,18 @@ def insert_keyframe(state: VOState, pose: jnp.ndarray, timestamp: jnp.ndarray, p
     """Masked equivalent of ``MapManager::InsertKeyframe``
     (``mapmanager.h:28-33``).  Returns (state, slot).  A full pool silently
     refuses the insert (capacity is sized for whole TUM sequences)."""
-    pred = pred & (state.num_kf < state.kf_pose.shape[0])
-    slot = jnp.clip(state.num_kf, 0, state.kf_pose.shape[0] - 1)
-    upd = lambda arr, val: jnp.where(pred, arr.at[slot].set(val), arr)  # noqa: E731
+    K = state.kf_pose.shape[0]
+    pred = pred & (state.num_kf < K)
+    slot = jnp.clip(state.num_kf, 0, K - 1)
+    # dense one-hot writes instead of dynamic-index scatters: K is small, and
+    # batched (vmapped) single-row scatters fault the axon TPU runtime
+    hit = (jnp.arange(K) == slot) & pred
+    pose = jnp.asarray(pose, state.kf_pose.dtype)
+    timestamp = jnp.asarray(timestamp, state.kf_timestamp.dtype)
     state = state._replace(
-        kf_pose=jnp.where(pred, state.kf_pose.at[slot].set(pose), state.kf_pose),
-        kf_valid=jnp.where(pred, state.kf_valid.at[slot].set(True), state.kf_valid),
-        kf_timestamp=upd(state.kf_timestamp, timestamp),
+        kf_pose=jnp.where(hit[:, None], pose[None, :], state.kf_pose),
+        kf_valid=state.kf_valid | hit,
+        kf_timestamp=jnp.where(hit, timestamp, state.kf_timestamp),
         num_kf=jnp.where(pred, state.num_kf + 1, state.num_kf),
     )
     return state, slot

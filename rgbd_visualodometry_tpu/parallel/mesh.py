@@ -66,22 +66,29 @@ class MultiStreamVO:
         def shard(spec_prefix):
             return NamedSharding(mesh, P(spec_prefix))
 
-        self._state_sharding = jax.tree_util.tree_map(
-            lambda _: shard(axis), mapstate.init_state(cfg)
-        )
-
         states = jax.vmap(lambda s: mapstate.init_state(cfg, 0)._replace(
             rng=jax.random.fold_in(jax.random.PRNGKey(seed), s)
         ))(jnp.arange(n_streams))
-        self.states = jax.device_put(states, self._state_sharding)
 
         step = functools.partial(frontend_mod.track_step, cfg, self.camera)
-        self._step = jax.jit(
-            jax.vmap(step),
-            in_shardings=(self._state_sharding, shard(axis)),
-            out_shardings=(self._state_sharding, shard(axis)),
-            donate_argnums=0,
-        )
+        if mesh.devices.size == 1:
+            # single device: plain vmap, no sharding annotations (the axon
+            # TPU runtime faults on sharding-annotated programs at batch>2;
+            # a 1-device mesh gains nothing from them anyway)
+            self._state_sharding = None
+            self.states = states
+            self._step = jax.jit(jax.vmap(step), donate_argnums=0)
+        else:
+            self._state_sharding = jax.tree_util.tree_map(
+                lambda _: shard(axis), mapstate.init_state(cfg)
+            )
+            self.states = jax.device_put(states, self._state_sharding)
+            self._step = jax.jit(
+                jax.vmap(step),
+                in_shardings=(self._state_sharding, shard(axis)),
+                out_shardings=(self._state_sharding, shard(axis)),
+                donate_argnums=0,
+            )
 
     def step(self, rgb: np.ndarray, depth: np.ndarray, timestamps: np.ndarray):
         """One tracking step for all streams.
