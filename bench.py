@@ -35,7 +35,11 @@ import numpy as np
 REFERENCE_FPS_ESTIMATE = 30.0
 WARMUP_FRAMES = 12
 MEASURE_FRAMES = 60
-N_STREAMS = 2  # multi-stream phase (batch 4 faults the axon TPU runtime)
+# multi-stream phase: try larger batches first, fall back - the axon TPU
+# runtime sporadically faults on batched programs (especially after an
+# earlier crash has poisoned the device), so each size is attempted safely
+STREAM_CASCADE = (4, 2)
+
 
 
 def _make_frames(cfg, n, seed=0):
@@ -81,13 +85,15 @@ def bench_single(cfg) -> float:
     return best
 
 
-def bench_multistream(cfg) -> float:
+def bench_multistream(cfg, n_streams: int | None = None) -> float:
     """S independent streams vmapped on one chip (frontend-only tracking
     per stream; map capacities scaled down to fit S maps in HBM)."""
     import jax
     import jax.numpy as jnp
 
     from rgbd_visualodometry_tpu.parallel import MultiStreamVO, make_mesh
+
+    N_STREAMS = n_streams or STREAM_CASCADE[0]
 
     mcfg = cfg.replace(
         max_mappoints=16384, max_keyframes=128, max_obs_per_mappoint=8,
@@ -130,13 +136,17 @@ def main():
     cfg = VOConfig()  # full fr1 defaults: 640x480, 500 features, 8 levels
 
     fps_single = bench_single(cfg)
-    try:
-        fps_multi = bench_multistream(cfg)
-    except Exception:
-        fps_multi = 0.0
+    fps_multi, used_streams = 0.0, 0
+    for s in STREAM_CASCADE:
+        try:
+            fps_multi = bench_multistream(cfg, s)
+            used_streams = s
+            break
+        except Exception:
+            continue
 
     fps = max(fps_single, fps_multi)
-    mode = "single-stream full VO" if fps_single >= fps_multi else f"{N_STREAMS}-stream batched tracking"
+    mode = "single-stream full VO" if fps_single >= fps_multi else f"{used_streams}-stream batched tracking"
     print(
         json.dumps(
             {
