@@ -35,10 +35,11 @@ import numpy as np
 REFERENCE_FPS_ESTIMATE = 30.0
 WARMUP_FRAMES = 12
 MEASURE_FRAMES = 60
-# multi-stream phase: try larger batches first, fall back - the axon TPU
-# runtime sporadically faults on batched programs (especially after an
-# earlier crash has poisoned the device), so each size is attempted safely
-STREAM_CASCADE = (4, 2)
+# multi-stream phase: ascending sizes, reliable first - the axon TPU
+# runtime sporadically faults on larger batched programs AND a fault
+# poisons the device for subsequent programs, so the risky attempt goes
+# last and the best successful number wins
+STREAM_CASCADE = (2, 4)
 
 
 
@@ -139,11 +140,11 @@ def main():
     fps_multi, used_streams = 0.0, 0
     for s in STREAM_CASCADE:
         try:
-            fps_multi = bench_multistream(cfg, s)
-            used_streams = s
-            break
+            got = bench_multistream(cfg, s)
+            if got > fps_multi:
+                fps_multi, used_streams = got, s
         except Exception:
-            continue
+            break  # a fault poisons the device; later attempts are doomed
 
     fps = max(fps_single, fps_multi)
     mode = "single-stream full VO" if fps_single >= fps_multi else f"{used_streams}-stream batched tracking"
