@@ -20,19 +20,26 @@ fully tracked per chip second).
 The TUM dataset cannot be downloaded in this environment (no egress), so
 frames come from the synthetic renderer at identical resolution/intrinsics
 and comparable feature density, moving at fr1/xyz-like speed.  The
-``vs_baseline`` divisor is the reference C++ pipeline's measured ballpark of
-~30 FPS (no number is published - README has plots only; 30 FPS = the
-~33 ms/frame a -O3 build of ORB extract + FLANN + PnP + 2x10 LM iterations
-costs on a modern x86 core; see BASELINE.md).
+``vs_baseline`` divisor is MEASURED: ``baseline/opencv_vo.py`` re-implements
+the reference pipeline on the same OpenCV kernels it calls (ORB, FLANN-LSH,
+solvePnPRansac P3P) plus numpy twins of its g2o solvers, and was run on the
+identical synthetic sequence on this host (results in
+``baseline/measured.json``; full-VO and frontend-only numbers are kept
+separate so each bench phase divides by the matching workload).
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-REFERENCE_FPS_ESTIMATE = 30.0
+_MEASURED = json.load(
+    open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "baseline", "measured.json"))
+)
+BASELINE_FPS_FULL_VO = _MEASURED["full_vo"]["fps_mean"]
+BASELINE_FPS_FRONTEND = _MEASURED["frontend_only"]["fps_mean"]
 WARMUP_FRAMES = 12
 MEASURE_FRAMES = 60
 # multi-stream phase: ascending sizes, reliable first - the axon TPU
@@ -146,15 +153,21 @@ def main():
         except Exception:
             break  # a fault poisons the device; later attempts are doomed
 
-    fps = max(fps_single, fps_multi)
-    mode = "single-stream full VO" if fps_single >= fps_multi else f"{used_streams}-stream batched tracking"
+    # compare each phase to the measured baseline running the SAME workload,
+    # then report whichever phase has the better speedup
+    ratio_single = fps_single / BASELINE_FPS_FULL_VO
+    ratio_multi = fps_multi / BASELINE_FPS_FRONTEND
+    if ratio_single >= ratio_multi:
+        fps, ratio, mode = fps_single, ratio_single, "single-stream full VO"
+    else:
+        fps, ratio, mode = fps_multi, ratio_multi, f"{used_streams}-stream batched tracking"
     print(
         json.dumps(
             {
                 "metric": f"synthetic fr1-class 640x480 tracking FPS/chip ({mode})",
                 "value": round(fps, 2),
                 "unit": "frames/sec/chip",
-                "vs_baseline": round(fps / REFERENCE_FPS_ESTIMATE, 2),
+                "vs_baseline": round(ratio, 2),
             }
         )
     )
