@@ -91,7 +91,6 @@ class VOConfig:
     ba_min_frame_gap: int = 0
     ba_max_poses: int = 16  # covisible-window pose capacity (padded)
     ba_max_points: int = 8192  # mappoint capacity inside one BA solve
-    ba_max_edges: int = 16384  # observation-edge capacity inside one BA solve
 
     # ---- tracking-map / covisibility (frame.cpp:114, frontend.cpp:163-166) --
     covisibility_weight_threshold: int = 15
@@ -114,6 +113,11 @@ class VOConfig:
     max_keyframes: int = 512
     max_mappoints: int = 65536
     max_obs_per_mappoint: int = 16
+    # past keyframe capacity: "ring" recycles the oldest slot (slot 0, the
+    # gauge anchor, stays pinned) so arbitrarily long sequences keep working
+    # like the reference's unbounded map (mapmanager.h:28-33); "refuse" drops
+    # the insert and raises the kf_overflow flag in StepOutput
+    keyframe_eviction: str = "ring"
 
     # ---- triangulation (util.h:16-34, frontend.cpp:465-506) ----
     triangulation_min_obs: int = 2
@@ -125,9 +129,32 @@ class VOConfig:
     # the reference increments the lost counter twice per bad frame
     # (frontend.cpp:113-114); set True for strict parity
     compat_double_lost_increment: bool = False
+    # the reference writes EVERY non-LOST frame's estimated pose to the
+    # trajectory, even ones that failed the quality gate (run_vo.cpp calls
+    # writePosetoFile unconditionally after AddFrame); we skip untracked
+    # frames by default - set True for strict parity of output files
+    compat_write_untracked_poses: bool = False
+
+    # ---- strict reference parity ----
+    # One switch flipping every documented improvement back to the
+    # reference's exact behavior: load the reference YAML, set this, and the
+    # run matches the reference semantics without knowing the individual
+    # flags.  The flipped set is listed in __post_init__.
+    strict_parity: bool = False
 
     # ---- numerics ----
     dtype: str = "float32"
+
+    # fields overridden (to these values) when strict_parity is set
+    _PARITY_OVERRIDES = {
+        "enable_relocalization": False,  # reference stays LOST (frontend.cpp:146-148)
+        "ba_use_depth_prior": False,  # g2o backend never uses the depth channel
+        "compat_single_triangulation": True,  # frontend.cpp:501 break
+        "compat_double_lost_increment": True,  # frontend.cpp:113-114
+        "compat_write_untracked_poses": True,  # run_vo.cpp:116 unconditional
+        "keyframe_eviction": "refuse",  # reference never recycles keyframes
+        "ba_min_frame_gap": 0,  # every keyframe wakes the backend
+    }
 
     def __post_init__(self):
         if self.number_of_features <= 0:
@@ -136,6 +163,11 @@ class VOConfig:
             raise ValueError("level_pyramid must be positive")
         if self.scale_factor <= 1.0:
             raise ValueError("scale_factor must be > 1")
+        if self.keyframe_eviction not in ("ring", "refuse"):
+            raise ValueError("keyframe_eviction must be 'ring' or 'refuse'")
+        if self.strict_parity:
+            for name, value in self._PARITY_OVERRIDES.items():
+                object.__setattr__(self, name, value)
 
     # Mapping from reference YAML keys (config/default.yaml) to field names.
     _YAML_KEYS = {

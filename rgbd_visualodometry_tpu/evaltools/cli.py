@@ -26,11 +26,23 @@ def main(argv=None):
     a.add_argument("--offset", type=float, default=0.0)
     a.add_argument("--verbose", action="store_true")
 
+    # full evaluate_rpe.py flag set (tools/evaluate_rpe.py:315-345)
     r = sub.add_parser("rpe", help="relative pose error")
     r.add_argument("groundtruth")
     r.add_argument("estimate")
     r.add_argument("--delta", type=float, default=1.0)
+    r.add_argument(
+        "--delta_unit", choices=("s", "m", "rad", "deg", "f"), default="s"
+    )
+    r.add_argument(
+        "--fixed_delta", action="store_true",
+        help="only consider pose pairs that have a distance of delta "
+        "(default like the reference: random pair sampling)",
+    )
     r.add_argument("--max_pairs", type=int, default=10000)
+    r.add_argument("--offset", type=float, default=0.0)
+    r.add_argument("--scale", type=float, default=1.0)
+    r.add_argument("--verbose", action="store_true")
 
     s = sub.add_parser("associate", help="timestamp association")
     s.add_argument("first_file")
@@ -68,14 +80,25 @@ def main(argv=None):
         gt_ts, gt = read_trajectory(args.groundtruth)
         est_ts, est = read_trajectory(args.estimate)
         res = relative_pose_error(
-            est_ts, est, gt_ts, gt, delta=args.delta, max_pairs=args.max_pairs
+            est_ts, est, gt_ts, gt,
+            delta=args.delta, delta_unit=args.delta_unit,
+            fixed_delta=args.fixed_delta, max_pairs=args.max_pairs,
+            offset=args.offset, scale=args.scale,
         )
+        # same stat block as evaluate_rpe.py:361-380
         print(f"compared_pose_pairs {res.num_pairs} pairs")
         print(f"translational_error.rmse {res.trans_rmse:.6f} m")
         print(f"translational_error.mean {res.trans_mean:.6f} m")
         print(f"translational_error.median {res.trans_median:.6f} m")
+        print(f"translational_error.std {res.trans_std:.6f} m")
+        print(f"translational_error.min {res.trans_min:.6f} m")
+        print(f"translational_error.max {res.trans_max:.6f} m")
         print(f"rotational_error.rmse {np.degrees(res.rot_rmse):.6f} deg")
         print(f"rotational_error.mean {np.degrees(res.rot_mean):.6f} deg")
+        print(f"rotational_error.median {np.degrees(res.rot_median):.6f} deg")
+        print(f"rotational_error.std {np.degrees(res.rot_std):.6f} deg")
+        print(f"rotational_error.min {np.degrees(res.rot_min):.6f} deg")
+        print(f"rotational_error.max {np.degrees(res.rot_max):.6f} deg")
     elif args.cmd == "associate":
         first = read_file_list(args.first_file)
         second = read_file_list(args.second_file)

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from rgbd_visualodometry_tpu.config import VOConfig
-from rgbd_visualodometry_tpu.ops import se3
+from rgbd_visualodometry_tpu.ops import packing, se3
 
 # FSM codes (frontend.h:26-30)
 INITIALIZING = 0
@@ -194,25 +194,68 @@ def tracking_map_mask(state: VOState, cfg: VOConfig) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def insert_keyframe(state: VOState, pose: jnp.ndarray, timestamp: jnp.ndarray, pred: jnp.ndarray):
+def insert_keyframe(
+    state: VOState,
+    pose: jnp.ndarray,
+    timestamp: jnp.ndarray,
+    pred: jnp.ndarray,
+    eviction: str = "ring",
+):
     """Masked equivalent of ``MapManager::InsertKeyframe``
-    (``mapmanager.h:28-33``).  Returns (state, slot).  A full pool silently
-    refuses the insert (capacity is sized for whole TUM sequences)."""
+    (``mapmanager.h:28-33``).  Returns ``(state, slot, inserted)``.
+
+    The reference's map is unbounded (it never deletes keyframes); this pool
+    is fixed-capacity, so past capacity one of two policies applies:
+
+    - ``eviction="ring"`` (default): recycle the oldest slot among 1..K-1
+      (slot 0 - the initial keyframe and BA gauge anchor - is never evicted).
+      The evicted keyframe's observations are cleared first; mappoints whose
+      observation count drops to zero become outliers, exactly the lifecycle
+      of ``Mappoint::RemoveObservedByKeyframe`` (``src/mappoint.cpp:39-49``).
+    - ``eviction="refuse"``: the insert is dropped and ``inserted`` comes
+      back False so the caller can skip every downstream keyframe update
+      (observations, new mappoints, ref-keyframe advance) instead of
+      attributing them to a stale slot.
+
+    ``num_kf`` counts keyframes *ever inserted* (monotonic); the live count
+    is ``min(num_kf, K)`` under ring eviction.
+    """
     K = state.kf_pose.shape[0]
-    pred = pred & (state.num_kf < K)
-    slot = jnp.clip(state.num_kf, 0, K - 1)
+    full = state.num_kf >= K
+    if eviction == "refuse":
+        inserted = pred & ~full
+        slot = jnp.clip(state.num_kf, 0, K - 1)
+    elif eviction == "ring":
+        inserted = pred
+        # slots 1..K-1 recycle round-robin; slot 0 stays pinned
+        ring = (state.num_kf - K) % (K - 1) + 1 if K > 1 else jnp.int32(0)
+        slot = jnp.where(full, ring, state.num_kf).astype(jnp.int32)
+        evict = inserted & full & state.kf_valid[jnp.clip(slot, 0, K - 1)]
+        # clear the evicted keyframe's observations (dense compare, no scatter)
+        hit_obs = evict & (state.obs_kf == slot) & state.obs_valid
+        obs_valid = state.obs_valid & ~hit_obs
+        count = jnp.sum(obs_valid, axis=1)
+        mp_outlier = state.mp_outlier | (state.mp_valid & (count == 0))
+        A_inc = jnp.where(
+            ((jnp.arange(K) == slot) & evict)[:, None],
+            jnp.zeros_like(state.A_inc),
+            state.A_inc,
+        )
+        state = state._replace(obs_valid=obs_valid, mp_outlier=mp_outlier, A_inc=A_inc)
+    else:
+        raise ValueError(f"unknown keyframe eviction policy {eviction!r}")
     # dense one-hot writes instead of dynamic-index scatters: K is small, and
     # batched (vmapped) single-row scatters fault the axon TPU runtime
-    hit = (jnp.arange(K) == slot) & pred
+    hit = (jnp.arange(K) == slot) & inserted
     pose = jnp.asarray(pose, state.kf_pose.dtype)
     timestamp = jnp.asarray(timestamp, state.kf_timestamp.dtype)
     state = state._replace(
         kf_pose=jnp.where(hit[:, None], pose[None, :], state.kf_pose),
         kf_valid=state.kf_valid | hit,
         kf_timestamp=jnp.where(hit, timestamp, state.kf_timestamp),
-        num_kf=jnp.where(pred, state.num_kf + 1, state.num_kf),
+        num_kf=jnp.where(inserted, state.num_kf + 1, state.num_kf),
     )
-    return state, slot
+    return state, slot, inserted
 
 
 def add_observations(
@@ -232,6 +275,10 @@ def add_observations(
     derived from the observation table (see :func:`covisibility_weights`).
     """
     C, M = state.obs_kf.shape
+    # explicit casts: float64 host inputs would otherwise hit JAX's
+    # unsafe-scatter-cast FutureWarning (hard error in future releases)
+    uv = jnp.asarray(uv, jnp.float32)
+    cam_center = jnp.asarray(cam_center, jnp.float32)
     mp_mask = mp_mask & pred
     free = ~state.obs_valid  # [C, M]
     has_free = jnp.any(free, axis=1)
@@ -243,6 +290,7 @@ def add_observations(
     obs_uv = jnp.where(one_hot[..., None], uv[:, None, :], state.obs_uv)
     if depth is None:
         depth = jnp.zeros(C, jnp.float32)
+    depth = jnp.asarray(depth, jnp.float32)
     obs_depth = jnp.where(one_hot, depth[:, None], state.obs_depth)
     obs_valid = state.obs_valid | one_hot
 
@@ -255,8 +303,14 @@ def add_observations(
     )
     mp_norm = jnp.where(do[:, None], new_norm, state.mp_norm)
 
-    kf_row = jnp.clip(kf_slot, 0, state.A_inc.shape[0] - 1)
-    A_inc = state.A_inc.at[kf_row, :].max(do.astype(jnp.int8))
+    # dense row update instead of a dynamic-row scatter (vmap-safe)
+    K = state.A_inc.shape[0]
+    rowsel = jnp.arange(K) == jnp.clip(kf_slot, 0, K - 1)
+    A_inc = jnp.where(
+        rowsel[:, None],
+        jnp.maximum(state.A_inc, do.astype(jnp.int8)[None, :]),
+        state.A_inc,
+    )
 
     return state._replace(
         obs_kf=obs_kf, obs_uv=obs_uv, obs_depth=obs_depth, obs_valid=obs_valid,
@@ -279,18 +333,23 @@ def create_mappoints(
     """Vectorized ``FrontEnd::CreateNewMappoints`` (``src/frontend.cpp:372-406``):
     allocate pool slots (recycling outlier slots), write position/descriptor,
     and register the creating keyframe as first observer.
+
+    Returns ``(state, n_created)`` where ``n_created`` counts the creates
+    that actually landed - requests beyond the free-slot supply are dropped
+    and surface in the caller's stats (pool-overflow observability).
     """
     C, M = state.obs_kf.shape
     N = positions.shape[0]
+    positions = jnp.asarray(positions, jnp.float32)
+    uv = jnp.asarray(uv, jnp.float32)
+    cam_center = jnp.asarray(cam_center, jnp.float32)
     create_mask = create_mask & pred
 
     free_mask = ~state.mp_valid | state.mp_outlier
     # rank of each new point among those being created
     rank = jnp.cumsum(create_mask.astype(jnp.int32)) - 1  # [N]
     # the rank-th free slot: compact free slots (ascending index)
-    from rgbd_visualodometry_tpu.ops.packing import compact_indices
-
-    free_idx, free_ok = compact_indices(free_mask, N)
+    free_idx, free_ok = packing.compact_indices(free_mask, N)
     slot = jnp.take(free_idx, jnp.clip(rank, 0, N - 1))  # [N]
     ok = create_mask & jnp.take(free_ok, jnp.clip(rank, 0, N - 1))
 
@@ -299,31 +358,54 @@ def create_mappoints(
     d = positions - cam_center[None, :]
     d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
 
-    tgt = jnp.where(ok, slot, C)  # out-of-range drops the write
-    obs_kf_row = jnp.full((N, M), -1, jnp.int32).at[:, 0].set(kf_slot)
-    obs_uv_row = jnp.zeros((N, M, 2), jnp.float32).at[:, 0, :].set(uv)
     if depth is None:
         depth = jnp.zeros(N, jnp.float32)
-    obs_depth_row = jnp.zeros((N, M), jnp.float32).at[:, 0].set(depth)
-    obs_valid_row = jnp.zeros((N, M), bool).at[:, 0].set(True)
+    depth = jnp.asarray(depth, jnp.float32)
 
-    return state._replace(
-        mp_pos=state.mp_pos.at[tgt].set(positions, mode="drop"),
-        mp_desc=state.mp_desc.at[tgt].set(desc, mode="drop"),
-        mp_bip=state.mp_bip.at[tgt].set(bip, mode="drop"),
-        mp_norm=state.mp_norm.at[tgt].set(d, mode="drop"),
-        mp_valid=state.mp_valid.at[tgt].set(True, mode="drop"),
-        mp_outlier=state.mp_outlier.at[tgt].set(False, mode="drop"),
-        mp_triangulated=state.mp_triangulated.at[tgt].set(False, mode="drop"),
-        mp_optimized=state.mp_optimized.at[tgt].set(False, mode="drop"),
-        obs_kf=state.obs_kf.at[tgt].set(obs_kf_row, mode="drop"),
-        obs_uv=state.obs_uv.at[tgt].set(obs_uv_row, mode="drop"),
-        obs_depth=state.obs_depth.at[tgt].set(obs_depth_row, mode="drop"),
-        obs_valid=state.obs_valid.at[tgt].set(obs_valid_row, mode="drop"),
-        A_inc=state.A_inc.at[
-            jnp.clip(kf_slot, 0, state.A_inc.shape[0] - 1), tgt
-        ].set(1, mode="drop"),
+    # scatter-free write-back: invert the (unique) target-slot list and
+    # GATHER each new row into its pool slot (batched scatters fault the
+    # axon TPU runtime at batch >= 3; gathers and dense selects vmap fine)
+    hit, inv = packing.inverse_lookup(C, slot, ok)  # [C], [C]
+
+    def put(pool, rows):
+        cond = hit.reshape((C,) + (1,) * (pool.ndim - 1))
+        return jnp.where(cond, jnp.take(rows, inv, axis=0), pool)
+
+    first_col = jnp.arange(M) == 0  # new points start with one observation
+    K = state.A_inc.shape[0]
+    rowsel = jnp.arange(K) == jnp.clip(kf_slot, 0, K - 1)
+
+    n_created = jnp.sum(ok).astype(jnp.int32)
+    state = state._replace(
+        mp_pos=put(state.mp_pos, positions),
+        mp_desc=put(state.mp_desc, desc),
+        mp_bip=put(state.mp_bip, bip),
+        mp_norm=put(state.mp_norm, d),
+        mp_valid=state.mp_valid | hit,
+        mp_outlier=state.mp_outlier & ~hit,
+        mp_triangulated=state.mp_triangulated & ~hit,
+        mp_optimized=state.mp_optimized & ~hit,
+        obs_kf=jnp.where(
+            hit[:, None], jnp.where(first_col, kf_slot, -1)[None, :], state.obs_kf
+        ),
+        obs_uv=jnp.where(
+            hit[:, None, None],
+            first_col[None, :, None] * jnp.take(uv, inv, axis=0)[:, None, :],
+            state.obs_uv,
+        ),
+        obs_depth=jnp.where(
+            hit[:, None],
+            first_col[None, :] * jnp.take(depth, inv)[:, None],
+            state.obs_depth,
+        ),
+        obs_valid=jnp.where(hit[:, None], first_col[None, :], state.obs_valid),
+        A_inc=jnp.where(
+            rowsel[:, None],
+            jnp.maximum(state.A_inc, hit.astype(jnp.int8)[None, :]),
+            state.A_inc,
+        ),
     )
+    return state, n_created
 
 
 def remove_observations(state: VOState, rm_mask: jnp.ndarray) -> VOState:

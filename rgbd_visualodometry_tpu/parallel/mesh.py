@@ -128,9 +128,9 @@ def sharded_match_descriptors(
     psum-tree collective over ICI).  Returns the same MatchResult contract as
     :func:`rgbd_visualodometry_tpu.ops.matching.match_descriptors`.
     """
-    from jax.experimental.shard_map import shard_map
-
     from rgbd_visualodometry_tpu.ops import matching
+
+    shard_map = jax.shard_map  # stable home since jax 0.7 (experimental path is deprecated)
 
     axis = mesh.axis_names[0]
 

@@ -67,6 +67,7 @@ class StepOutput(NamedTuple):
         "kf_slot": 18, "num_candidates": 19, "num_matches": 20,
         "num_inliers": 21, "num_final_inliers": 22, "num_new_mappoints": 23,
         "num_triangulated": 24, "num_keyframes": 25, "num_mappoints": 26,
+        "kf_overflow": 27, "num_dropped_mappoints": 28,
     }
     SIZE = 32
 
@@ -142,6 +143,17 @@ class StepOutput(NamedTuple):
     @property
     def num_mappoints(self):
         return self._field("num_mappoints").astype(jnp.int32)
+
+    @property
+    def kf_overflow(self):
+        """True when a keyframe insert was refused by a full pool (only
+        possible under ``keyframe_eviction='refuse'``)."""
+        return self._field("kf_overflow") > 0.5
+
+    @property
+    def num_dropped_mappoints(self):
+        """Creates requested beyond the mappoint pool's free-slot supply."""
+        return self._field("num_dropped_mappoints").astype(jnp.int32)
 
 
 def _match_and_estimate(cfg: VOConfig, camera, state: VOState, feats, kp_cam, dep, tmap, pose, key, is_lost):
@@ -250,29 +262,39 @@ def track_step(cfg: VOConfig, camera, state: VOState, frame: FrameInput):
     pose_used = jnp.where(is_init, se3.identity(jnp.float32), pose_f)
     cam_center = cam_mod.camera_center(pose_used)
 
-    state, kf_slot = mapstate.insert_keyframe(state, pose_used, frame.timestamp, do_insert)
+    state, kf_slot, inserted = mapstate.insert_keyframe(
+        state, pose_used, frame.timestamp, do_insert, eviction=cfg.keyframe_eviction
+    )
+    # effective keyframe predicate: a refused insert (full pool under the
+    # "refuse" policy) must gate every downstream keyframe update, or the
+    # observations / mappoints / ref-kf advance get attributed to a stale slot
+    is_kf_eff = is_kf & inserted
+    kf_overflow = do_insert & ~inserted
 
     # ---- observations of PnP inliers (AddCurrentKeyframeObservations,
     # frontend.cpp:366-370: the post-BA chi2 inlier set with matched pixel) -
+    # scatter-free: invert the packed match-index list and gather per slot
     inlier_packed = info["ref"].inliers & info["mval"]
-    inlier_mp = packing.scatter_back(C, info["midx"], inlier_packed)
-    tgt = jnp.where(inlier_packed, info["midx"], C)  # drop invalid writes
-    uv_for_mp = jnp.zeros((C, 2), jnp.float32).at[tgt].set(info["uv"], mode="drop")
+    inlier_mp, minv = packing.inverse_lookup(C, info["midx"], inlier_packed)
+    uv_for_mp = jnp.take(info["uv"], minv, axis=0) * inlier_mp[:, None]
     kp_depth = jnp.take(dep.depth, info["kpi"]) * jnp.take(dep.valid, info["kpi"])
-    depth_for_mp = jnp.zeros(C, jnp.float32).at[tgt].set(kp_depth, mode="drop")
+    depth_for_mp = jnp.take(kp_depth, minv) * inlier_mp
     state = mapstate.add_observations(
-        state, kf_slot, inlier_mp, uv_for_mp, cam_center, is_kf, depth=depth_for_mp
+        state, kf_slot, inlier_mp, uv_for_mp, cam_center, is_kf_eff,
+        depth=depth_for_mp,
     )
 
     # ---- new mappoints from depth (CreateNewMappoints,
     # frontend.cpp:372-406): unmatched keypoints with valid depth -----------
-    matched_kp = jnp.zeros(N, bool).at[info["kpi"]].max(inlier_packed)
+    matched_kp = packing.scatter_back(
+        N, jnp.where(inlier_packed, info["kpi"], N), inlier_packed
+    )
     create_mask = feats.valid & dep.valid & ~(matched_kp & ~is_init)
     p_world_new = cam_mod.pixel2world(camera, feats.xy, pose_used, dep.depth)
-    n_created = jnp.sum(create_mask & do_insert).astype(jnp.int32)
-    state = mapstate.create_mappoints(
+    n_create_req = jnp.sum(create_mask & inserted).astype(jnp.int32)
+    state, n_created = mapstate.create_mappoints(
         state, kf_slot, p_world_new, feats.desc, feats.desc_bipolar, feats.xy,
-        create_mask, cam_center, do_insert, depth=dep.depth,
+        create_mask, cam_center, inserted, depth=dep.depth,
     )
 
     # ---- triangulation refinement (TriangulateMappointsInTrackingMap,
@@ -293,21 +315,23 @@ def track_step(cfg: VOConfig, camera, state: VOState, frame: FrameInput):
     tri = triangulate.triangulate(
         poses_obs, norm_xy, obs_ok, cfg.triangulation_sv_ratio, cfg.triangulation_min_obs
     )
-    tri_ok = tval & tri.ok & (tri.points[:, 2] > 0) & is_kf  # pworld[2] > 0 check
+    tri_ok = tval & tri.ok & (tri.points[:, 2] > 0) & is_kf_eff  # pworld[2]>0
     if cfg.compat_single_triangulation:
         # the reference `break`s after the first success (frontend.cpp:501)
         tri_ok = tri_ok & (jnp.cumsum(tri_ok.astype(jnp.int32)) == 1)
-    ttgt = jnp.where(tri_ok, tidx, C)
+    thit, tinv = packing.inverse_lookup(C, tidx, tri_ok)
     state = state._replace(
-        mp_pos=state.mp_pos.at[ttgt].set(tri.points, mode="drop"),
-        mp_triangulated=state.mp_triangulated.at[ttgt].set(True, mode="drop"),
+        mp_pos=jnp.where(
+            thit[:, None], jnp.take(tri.points, tinv, axis=0), state.mp_pos
+        ),
+        mp_triangulated=state.mp_triangulated | thit,
     )
 
     # ---- bookkeeping: framePrev_/keyframeRef_ only advance on keyframes
     # (frontend.cpp:140-141 runs after the IsKeyframe early-return) ---------
     state = state._replace(
-        prev_pose=jnp.where(do_insert, pose_used, state.prev_pose),
-        ref_kf=jnp.where(do_insert, kf_slot, state.ref_kf),
+        prev_pose=jnp.where(inserted, pose_used, state.prev_pose),
+        ref_kf=jnp.where(inserted, kf_slot, state.ref_kf),
         fsm=fsm,
         lost_count=lost_count,
         frame_index=state.frame_index + 1,
@@ -318,16 +342,18 @@ def track_step(cfg: VOConfig, camera, state: VOState, frame: FrameInput):
         se3.inverse(pose_used),
         tracked=good | is_init,
         fsm=fsm,
-        is_keyframe=is_kf,
-        needs_ba=is_kf & bool(cfg.enable_local_optimization),
+        is_keyframe=is_kf_eff,
+        needs_ba=is_kf_eff & bool(cfg.enable_local_optimization),
         kf_slot=kf_slot,
         num_candidates=info["n_cand"],
         num_matches=info["n_match"],
         num_inliers=info["rr"].num_inliers,
         num_final_inliers=info["ref"].num_final_inliers,
-        num_new_mappoints=jnp.where(do_insert, n_created, 0),
+        num_new_mappoints=n_created,
         num_triangulated=jnp.sum(tri_ok).astype(jnp.int32),
         num_keyframes=state.num_kf,
         num_mappoints=jnp.sum(state.mp_alive).astype(jnp.int32),
+        kf_overflow=kf_overflow,
+        num_dropped_mappoints=n_create_req - n_created,
     )
     return state, out

@@ -133,6 +133,8 @@ class VisualOdometry:
                 num_triangulated=int(o.num_triangulated),
                 num_keyframes=int(o.num_keyframes),
                 num_mappoints=int(o.num_mappoints),
+                kf_overflow=int(o.kf_overflow),
+                num_dropped_mappoints=int(o.num_dropped_mappoints),
             ),
             step_seconds=dispatch_s,
         )
@@ -204,7 +206,11 @@ class VisualOdometry:
                         )
                         + "\n"
                     )
-                if writer and res.tracked and res.fsm != LOST:
+                # the reference writes every non-LOST frame's estimated pose,
+                # quality gate or not (run_vo.cpp:116 is unconditional);
+                # default skips untracked frames, compat flag restores parity
+                write_ok = res.tracked or self.cfg.compat_write_untracked_poses
+                if writer and write_ok and res.fsm != LOST:
                     writer.write(res.timestamp, res.pose_w_c)
             written = len(self.results)
 

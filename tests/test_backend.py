@@ -24,7 +24,7 @@ def small_cfg(**kw):
         image_width=320, image_height=240,
         camera_fx=258.6, camera_fy=258.2, camera_cx=159.3, camera_cy=127.6,
         max_keyframes=8, max_mappoints=256, max_obs_per_mappoint=8,
-        ba_max_poses=6, ba_max_points=256, ba_max_edges=1024,
+        ba_max_poses=6, ba_max_points=256,
         covisibility_weight_threshold=15,
     )
     base.update(kw)
@@ -51,7 +51,7 @@ def build_scene_state(cfg, n_kf=4, n_pts=120, noise_px=0.0, seed=0, with_depth=T
     pts_true = jnp.asarray(rng.uniform([-1.5, -1.2, 2.0], [1.5, 1.2, 4.5], (n_pts, 3)), jnp.float32)
 
     for k in range(n_kf):
-        state, slot = mapstate.insert_keyframe(
+        state, slot, _ = mapstate.insert_keyframe(
             state, poses_true[k], jnp.float32(k), jnp.asarray(True)
         )
     # allocate points
@@ -59,7 +59,7 @@ def build_scene_state(cfg, n_kf=4, n_pts=120, noise_px=0.0, seed=0, with_depth=T
     zero_desc = jnp.zeros((n_pts, 8), jnp.uint32)
     zero_bip = jnp.zeros((n_pts, 256), jnp.int8)
     z0 = cam_mod.world2camera(pts_true, poses_true[0])[:, 2]
-    state = mapstate.create_mappoints(
+    state, _ = mapstate.create_mappoints(
         state, jnp.int32(0), pts_true, zero_desc, zero_bip,
         np.asarray(cam_mod.world2pixel(cam, pts_true, poses_true[0])),
         jnp.ones(n_pts, bool), cam_mod.camera_center(poses_true[0]), jnp.asarray(True),

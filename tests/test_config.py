@@ -82,3 +82,29 @@ def test_unknown_keys_ignored():
 def test_validation():
     with pytest.raises(ValueError):
         VOConfig(scale_factor=0.9)
+
+
+def test_strict_parity_preset_flips_divergent_defaults():
+    from rgbd_visualodometry_tpu.config import VOConfig
+
+    cfg = VOConfig(strict_parity=True)
+    assert cfg.enable_relocalization is False
+    assert cfg.ba_use_depth_prior is False
+    assert cfg.compat_single_triangulation is True
+    assert cfg.compat_double_lost_increment is True
+    assert cfg.compat_write_untracked_poses is True
+    assert cfg.keyframe_eviction == "refuse"
+    # defaults stay improved without the switch
+    dflt = VOConfig()
+    assert dflt.enable_relocalization is True
+    assert dflt.keyframe_eviction == "ring"
+    # hashable (jit static arg requirement)
+    hash(cfg)
+
+
+def test_strict_parity_from_yaml_key():
+    from rgbd_visualodometry_tpu.config import VOConfig
+
+    cfg = VOConfig.from_dict({"strict_parity": 1, "camera.fx": 500.0})
+    assert cfg.strict_parity is True and cfg.compat_single_triangulation is True
+    assert cfg.camera_fx == 500.0

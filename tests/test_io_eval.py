@@ -122,3 +122,42 @@ def test_rpe_perfect():
     poses[:, 4:7] = np.cumsum(rng.uniform(-0.01, 0.01, (n, 3)), axis=0)
     rpe = relative_pose_error(ts, poses, ts, poses, delta=1.0)
     assert rpe.trans_rmse < 1e-12
+
+
+def _circle_traj(n=60, dt=1.0 / 30.0, radius=1.0):
+    """Planar circular trajectory with known per-frame motion."""
+    ts = np.arange(n) * dt
+    ang = 0.1 * np.arange(n)
+    poses = []
+    for a in ang:
+        q = np.array([np.cos(a / 2), 0, 0, np.sin(a / 2)])  # yaw about z
+        t = np.array([radius * np.cos(a), radius * np.sin(a), 0.0])
+        poses.append(np.concatenate([q, t]))
+    return ts, np.asarray(poses)
+
+
+def test_rpe_delta_units_frames_and_meters():
+    ts, poses = _circle_traj()
+    # delta of 1 frame: identical trajectories -> zero error in all units
+    for unit, delta in (("f", 1.0), ("m", 0.1), ("rad", 0.1), ("deg", 5.7)):
+        r = relative_pose_error(
+            ts, poses, ts, poses, delta=delta, delta_unit=unit, fixed_delta=True
+        )
+        assert r.trans_rmse < 1e-9, unit
+        assert r.rot_rmse < 1e-9, unit
+
+
+def test_rpe_random_mode_covers_all_pairs_when_small():
+    ts, poses = _circle_traj(n=20)
+    noisy = poses.copy()
+    noisy[:, 4:7] += np.random.default_rng(0).normal(0, 0.01, (len(ts), 3))
+    r = relative_pose_error(ts, noisy, ts, poses, fixed_delta=False, max_pairs=0)
+    assert r.num_pairs > 20 * 19 / 2  # all NxN pairs evaluated
+    assert 0 < r.trans_rmse < 0.1
+    assert r.trans_min <= r.trans_median <= r.trans_max
+
+
+def test_rpe_random_mode_samples_capped():
+    ts, poses = _circle_traj(n=200)
+    r = relative_pose_error(ts, poses, ts, poses, fixed_delta=False, max_pairs=500)
+    assert r.num_pairs <= 500

@@ -20,7 +20,7 @@ def small_cfg(**kw):
         number_of_features=300, level_pyramid=4,
         max_keyframes=32, max_mappoints=4096, max_obs_per_mappoint=8,
         pnp_max_points=512, triangulation_batch=256, ransac_hypotheses=64,
-        ba_max_poses=8, ba_max_points=2048, ba_max_edges=4096,
+        ba_max_poses=8, ba_max_points=2048,
     )
     base.update(kw)
     return VOConfig(**base)
