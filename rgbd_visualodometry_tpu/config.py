@@ -43,6 +43,10 @@ class VOConfig:
     enable_local_optimization: bool = True
     chi2_th: float = 1.0
     enable_viewer: bool = False
+    # live-viewer output (the reference renders per-frame: keypoint overlay
+    # viewer.cpp:144-150 + map/frustum view viewer.cpp:34-54; headless here)
+    viewer_dir: str = "viewer_out"
+    viewer_map_every: int = 10  # render the map view every N frames
 
     # ---- image geometry (TUM Kinect: 640x480, README.md:52) ----
     image_width: int = 640

@@ -58,6 +58,10 @@ class StepOutput(NamedTuple):
     """
 
     packed: jnp.ndarray  # [32] float32 (leading batch dims allowed)
+    # live-viewer payload, only populated when cfg.enable_viewer (static):
+    # [N, 3] float32 (x, y, matched-flag) per keypoint - feeds the host-side
+    # per-frame overlay, the PlotFrameImage analogue (viewer.cpp:144-150)
+    viewer: jnp.ndarray | None = None
 
     # layout
     _POSE_C_W = slice(0, 7)
@@ -72,13 +76,13 @@ class StepOutput(NamedTuple):
     SIZE = 32
 
     @classmethod
-    def pack(cls, pose_c_w, pose_w_c, **fields) -> "StepOutput":
+    def pack(cls, pose_c_w, pose_w_c, viewer=None, **fields) -> "StepOutput":
         parts = [pose_c_w, pose_w_c]
         vals = jnp.stack(
             [jnp.asarray(fields[k], jnp.float32) for k in cls._FIELDS], axis=-1
         )
         pad = jnp.zeros(vals.shape[:-1] + (cls.SIZE - 14 - len(cls._FIELDS),), jnp.float32)
-        return cls(packed=jnp.concatenate(parts + [vals, pad], axis=-1))
+        return cls(packed=jnp.concatenate(parts + [vals, pad], axis=-1), viewer=viewer)
 
     # ---- accessors (device- and host-side, batched or not) ---------------
     @property
@@ -337,9 +341,26 @@ def track_step(cfg: VOConfig, camera, state: VOState, frame: FrameInput):
         frame_index=state.frame_index + 1,
     )
 
+    # ---- live-viewer payload (static flag -> no cost when disabled):
+    # keypoints + FLANN-matched flag, the data setCurrentFrame hands the
+    # reference viewer (frontend.cpp:74, viewer.cpp:144-150) -------------
+    viewer_payload = None
+    if cfg.enable_viewer:
+        kp_matched = packing.scatter_back(
+            N, jnp.where(info["mval"], info["kpi"], N), info["mval"]
+        )
+        viewer_payload = jnp.concatenate(
+            [
+                feats.xy.astype(jnp.float32),
+                (kp_matched & feats.valid).astype(jnp.float32)[:, None],
+            ],
+            axis=-1,
+        )
+
     out = StepOutput.pack(
         pose_used,
         se3.inverse(pose_used),
+        viewer=viewer_payload,
         tracked=good | is_init,
         fsm=fsm,
         is_keyframe=is_kf_eff,

@@ -89,6 +89,15 @@ class VisualOdometry:
         self.results: list[FrameResult] = []
         self._pending: collections.deque = collections.deque()
         self._frames_since_ba = 1 << 30
+        # live viewer (the reference's render thread, viewer.cpp:34-54):
+        # per-frame keypoint overlays + periodic map renders, host-side and
+        # fed from the lagged output stream so the hot loop never blocks
+        self._viewer = None
+        self._viewer_frame = 0
+        if cfg.enable_viewer:
+            from rgbd_visualodometry_tpu.viz import MapViewer
+
+            self._viewer = MapViewer(cfg.viewer_dir)
 
     # ---- async pipeline --------------------------------------------------
 
@@ -101,9 +110,10 @@ class VisualOdometry:
             timestamp=jnp.float32(timestamp),
         )
         self.state, out = self._step(self.state, frame)
-        self._pending.append((float(timestamp), out, time.perf_counter() - t0))
+        rgb_ref = rgb if self._viewer is not None else None  # host copy for overlay
+        self._pending.append((float(timestamp), out, time.perf_counter() - t0, rgb_ref))
 
-    def _materialize(self, ts: float, out, dispatch_s: float) -> FrameResult:
+    def _materialize(self, ts: float, out, dispatch_s: float, rgb_ref=None) -> FrameResult:
         o = jax.device_get(out)  # ONE host transfer for the whole record
         self._frames_since_ba += 1
         if (
@@ -139,6 +149,21 @@ class VisualOdometry:
             step_seconds=dispatch_s,
         )
         self.results.append(res)
+        if self._viewer is not None and o.viewer is not None and rgb_ref is not None:
+            v = np.asarray(o.viewer)
+            self._viewer.render_overlay(
+                np.asarray(rgb_ref), v[:, :2], v[:, 2] > 0.5,
+                name=f"frame_{self._viewer_frame:05d}.png",
+            )
+            if self._viewer_frame % max(self.cfg.viewer_map_every, 1) == 0:
+                traj = np.asarray(
+                    [r.pose_w_c[4:7] for r in self.results if r.tracked]
+                )
+                self._viewer.render_map(
+                    self.map_snapshot(), trajectory=traj,
+                    name=f"map_{self._viewer_frame:05d}.png",
+                )
+            self._viewer_frame += 1
         return res
 
     def drain(self, keep_lag: int = 0) -> Optional[FrameResult]:

@@ -96,6 +96,27 @@ class MapViewer:
             label="camera",
         )
 
+    def render_overlay(
+        self,
+        rgb: np.ndarray,
+        xy: np.ndarray,
+        valid: np.ndarray | None = None,
+        name: str | None = None,
+    ) -> str:
+        """Write the per-frame keypoint-overlay image (the live
+        ``cv::imshow`` of ``viewer.cpp:44-46`` as a PNG stream)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.image as mpimg
+
+        img = self.draw_keypoints(rgb, xy, valid)
+        name = name or f"frame_{self._counter:05d}.png"
+        self._counter += 1
+        path = f"{self.out_dir}/{name}"
+        mpimg.imsave(path, img)
+        return path
+
     @staticmethod
     def draw_keypoints(rgb: np.ndarray, xy: np.ndarray, valid: np.ndarray | None = None, radius: int = 2) -> np.ndarray:
         """Feature-overlay image (the ``PlotFrameImage`` analogue,

@@ -87,3 +87,42 @@ def test_stats_jsonl(tmp_path):
     assert len(lines) == 4
     assert lines[0]["num_new_mappoints"] > 100
     assert all("num_inliers" in l and "fsm" in l for l in lines)
+
+
+def test_live_viewer_streams_overlays_and_map_renders(tmp_path):
+    """VERDICT item 6: enable_viewer=1 must produce a per-frame overlay
+    stream + periodic map renders during the run (viewer.cpp:34-54,144-150),
+    not just a single post-hoc image."""
+    import glob
+
+    import matplotlib.image as mpimg
+
+    from rgbd_visualodometry_tpu.config import VOConfig
+    from rgbd_visualodometry_tpu.io import synthetic
+    from rgbd_visualodometry_tpu.pipeline.system import VisualOdometry
+
+    cfg = VOConfig(
+        image_width=320, image_height=240,
+        camera_fx=258.6, camera_fy=258.2, camera_cx=159.3, camera_cy=127.6,
+        number_of_features=200, level_pyramid=3,
+        max_keyframes=16, max_mappoints=2048, max_obs_per_mappoint=4,
+        pnp_max_points=256, triangulation_batch=128, ransac_hypotheses=32,
+        ba_max_poses=4, ba_max_points=512,
+        enable_local_optimization=False,
+        enable_viewer=True, viewer_dir=str(tmp_path / "viz"), viewer_map_every=3,
+    )
+    scene = synthetic.SyntheticScene(
+        width=320, height=240, fx=258.6, fy=258.2, cx=159.3, cy=127.6
+    )
+    seq = synthetic.generate_sequence(6, scene=scene)
+    vo = VisualOdometry(cfg)
+    vo.run(((f.rgb, f.depth, f.timestamp) for f in seq))
+
+    overlays = sorted(glob.glob(str(tmp_path / "viz" / "frame_*.png")))
+    maps = sorted(glob.glob(str(tmp_path / "viz" / "map_*.png")))
+    assert len(overlays) == 6, overlays
+    assert len(maps) == 2  # every 3rd frame
+    # overlay differs from the raw input (green keypoint boxes drawn)
+    img = (mpimg.imread(overlays[2])[:, :, :3] * 255).astype("uint8")
+    assert img.shape[:2] == (240, 320)
+    assert (img != seq[2].rgb).any()
