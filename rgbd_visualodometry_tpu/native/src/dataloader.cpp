@@ -46,7 +46,16 @@ bool decode_png(const char* path, bool as_depth, Image* out) {
     return false;
   }
   png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) {
+    std::fclose(fp);
+    return false;
+  }
   png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    std::fclose(fp);
+    return false;
+  }
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     std::fclose(fp);
@@ -62,8 +71,14 @@ bool decode_png(const char* path, bool as_depth, Image* out) {
   int color = png_get_color_type(png, info);
 
   if (as_depth) {
-    // 16-bit grayscale depth: keep 16 bits, strip nothing
-    if (color == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+    // TUM depth must be grayscale (8- or 16-bit); anything else (palette,
+    // RGB) would silently decode to garbage depth values - reject instead
+    // so vo_loader_next reports a decode error (-3)
+    if (color != PNG_COLOR_TYPE_GRAY) {
+      png_destroy_read_struct(&png, &info, nullptr);
+      std::fclose(fp);
+      return false;
+    }
   } else {
     // normalize everything to 8-bit RGB
     if (color == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
@@ -90,12 +105,14 @@ bool decode_png(const char* path, bool as_depth, Image* out) {
     out->channels = 1;
     out->bitdepth = 16;
     out->gray16.resize((size_t)width * height);
-    if (final_depth == 16 || rowbytes == (size_t)width * 2) {
+    if (final_depth == 16 && rowbytes == (size_t)width * 2) {
       // PNG stores 16-bit big-endian
       for (size_t i = 0; i < out->gray16.size(); ++i)
         out->gray16[i] = (uint16_t)((raw[2 * i] << 8) | raw[2 * i + 1]);
-    } else {
+    } else if (final_depth == 8 && rowbytes == (size_t)width) {
       for (size_t i = 0; i < out->gray16.size(); ++i) out->gray16[i] = raw[i];
+    } else {
+      return false;  // unexpected layout: fail loudly, never wrong depths
     }
   } else {
     out->channels = 3;

@@ -1,0 +1,96 @@
+"""Hamming distance matrix from PACKED descriptors - Pallas TPU kernel.
+
+Motivation (VERDICT round 1, item 10): the production matcher keeps a
+``[C, 256] int8`` bipolar copy of every descriptor purely so the distance
+matrix can be one MXU matmul (``ops/matching.py``).  That pool is 16 MB per
+stream at C=65536 - by far the largest leaf of ``VOState`` - and matching
+reads all of it every round.  Descriptors are natively ``[C, 8] uint32``
+(256 packed bits): 8x smaller.
+
+This kernel computes the same distance matrix directly from packed words:
+each grid step loads a ``[TC, 8] uint32`` candidate tile (32 B/row instead
+of 256 B/row of HBM traffic), unpacks it to bipolar int8 **in VMEM** with
+shift/mask VPU ops, and feeds the MXU with the unpacked tile against the
+(replicated, small) keypoint matrix.  Same math, an eighth of the bandwidth
+and none of the persistent pool.
+
+A pure-XLA fallback (`_hamming_packed_xla`) implements the identical
+unpack+dot for CPU tests and as a safety net; `hamming_matrix_packed`
+dispatches on backend.  Oracle-tested against ``matching.hamming_matrix``
+in ``tests/test_matching.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+WORDS = 8  # 256 bits = 8 x uint32
+BITS = 256
+
+
+def unpack_bipolar(desc: jnp.ndarray) -> jnp.ndarray:
+    """[..., 8] uint32 -> [..., 256] int8 in {-1, +1} (bit order: word-major,
+    LSB first - must match ops/orb.py's packing)."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (desc[..., :, None] >> shifts[None, :]) & jnp.uint32(1)
+    flat = bits.reshape(desc.shape[:-1] + (BITS,))
+    return (flat.astype(jnp.int8) << 1) - 1
+
+
+def _hamming_packed_xla(cand_desc: jnp.ndarray, kp_bip: jnp.ndarray) -> jnp.ndarray:
+    """Reference semantics: unpack then bipolar dot (one fused XLA program)."""
+    a = unpack_bipolar(cand_desc)
+    dot = jax.lax.dot_general(
+        a, kp_bip, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (BITS - dot) // 2
+
+
+def _kernel(cand_ref, kp_ref, out_ref):
+    """One candidate tile: unpack packed words -> bipolar int8 -> MXU dot."""
+    desc = cand_ref[:]  # [TC, 8] uint32
+    shifts = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, 32), 2)
+    bits = (desc[:, :, None] >> shifts) & jnp.uint32(1)  # [TC, 8, 32]
+    a = (bits.reshape(desc.shape[0], BITS).astype(jnp.int8) << 1) - 1
+    dot = jax.lax.dot_general(
+        a, kp_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out_ref[:] = (BITS - dot) // 2
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def _hamming_packed_pallas(cand_desc, kp_bip, tile: int = 1024):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    C = cand_desc.shape[0]
+    N = kp_bip.shape[0]
+    assert C % tile == 0, (C, tile)
+    return pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((C, N), jnp.int32),
+        grid=(C // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, WORDS), lambda i: (i, 0)),
+            pl.BlockSpec((N, BITS), lambda i: (0, 0)),  # replicated
+        ],
+        out_specs=pl.BlockSpec((tile, N), lambda i: (i, 0)),
+    )(cand_desc, kp_bip)
+
+
+def hamming_matrix_packed(
+    cand_desc: jnp.ndarray,  # [C, 8] uint32
+    kp_bip: jnp.ndarray,  # [N, 256] int8 bipolar (keypoints are few - keep dense)
+    tile: int = 1024,
+) -> jnp.ndarray:
+    """[C, N] int32 Hamming distances from packed candidate descriptors."""
+    C = cand_desc.shape[0]
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu and C % tile == 0 and C >= tile:
+        return _hamming_packed_pallas(cand_desc, kp_bip, tile=tile)
+    return _hamming_packed_xla(cand_desc, kp_bip)

@@ -70,21 +70,32 @@ class MultiStreamVO:
             rng=jax.random.fold_in(jax.random.PRNGKey(seed), s)
         ))(jnp.arange(n_streams))
 
-        step = functools.partial(frontend_mod.track_step, cfg, self.camera)
+        # The step runs as TWO chained device programs (tracking compute,
+        # then state update): the fused single-program form deterministically
+        # faults the axon TPU runtime when vmapped at batch >= 3, while each
+        # half runs clean at batch 4+ (see frontend.TrackInter).  No host
+        # round-trip between them - the second launch is enqueued async.
+        compute = functools.partial(frontend_mod.track_compute, cfg, self.camera)
+        update = functools.partial(frontend_mod.apply_updates, cfg, self.camera)
         if mesh.devices.size == 1:
             # single device: plain vmap, no sharding annotations (the axon
             # TPU runtime faults on sharding-annotated programs at batch>2;
             # a 1-device mesh gains nothing from them anyway)
             self._state_sharding = None
             self.states = states
-            self._step = jax.jit(jax.vmap(step), donate_argnums=0)
+            self._compute = jax.jit(jax.vmap(compute))
+            self._update = jax.jit(jax.vmap(update), donate_argnums=0)
         else:
             self._state_sharding = jax.tree_util.tree_map(
                 lambda _: shard(axis), mapstate.init_state(cfg)
             )
             self.states = jax.device_put(states, self._state_sharding)
-            self._step = jax.jit(
-                jax.vmap(step),
+            self._compute = jax.jit(
+                jax.vmap(compute),
+                in_shardings=(self._state_sharding, shard(axis)),
+            )
+            self._update = jax.jit(
+                jax.vmap(update),
                 in_shardings=(self._state_sharding, shard(axis)),
                 out_shardings=(self._state_sharding, shard(axis)),
                 donate_argnums=0,
@@ -101,7 +112,8 @@ class MultiStreamVO:
             depth=jnp.asarray(depth, jnp.uint16),
             timestamp=jnp.asarray(timestamps, jnp.float32),
         )
-        self.states, out = self._step(self.states, frames)
+        inter = self._compute(self.states, frames)
+        self.states, out = self._update(self.states, inter)
         return out
 
     def aggregate_metrics(self, out) -> dict[str, float]:

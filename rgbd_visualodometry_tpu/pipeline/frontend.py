@@ -201,9 +201,51 @@ def _match_and_estimate(cfg: VOConfig, camera, state: VOState, feats, kp_cam, de
     return ref.pose, info
 
 
-def track_step(cfg: VOConfig, camera, state: VOState, frame: FrameInput):
-    """(state, frame) -> (state, StepOutput).  Pure; jit with cfg static."""
-    C = cfg.max_mappoints
+class TrackInter(NamedTuple):
+    """Intermediates between the tracking-compute and state-update halves.
+
+    The full fused ``track_step`` program deterministically faults the axon
+    TPU runtime when vmapped at batch >= 3, while each half runs fine at
+    batch 4+ (round-2 bisect; the split also matches the reference's own
+    frontend-compute / map-mutation phase boundary at frontend.cpp:110-126).
+    Splitting at this seam gives two chained device programs with no host
+    round-trip; everything here is statically shaped and small (~0.2 MB).
+    """
+
+    # keypoints (the subset of ORBFeatures the update half consumes)
+    xy: jnp.ndarray  # [N, 2] f32
+    desc: jnp.ndarray  # [N, 8] u32
+    bip: jnp.ndarray  # [N, 256] i8
+    kp_valid: jnp.ndarray  # [N] bool
+    depth: jnp.ndarray  # [N] f32
+    depth_valid: jnp.ndarray  # [N] bool
+    # fine-round match/estimate results (packed P slots)
+    midx: jnp.ndarray  # [P] i32 matched mappoint slots
+    mval: jnp.ndarray  # [P] bool
+    kpi: jnp.ndarray  # [P] i32 matched keypoint index
+    uv: jnp.ndarray  # [P, 2] f32 matched pixel
+    ref_inliers: jnp.ndarray  # [P] bool post-LM chi2 inliers
+    # tracking map + pose + FSM decisions
+    tmap: jnp.ndarray  # [C] bool
+    pose_used: jnp.ndarray  # [7]
+    is_init: jnp.ndarray
+    is_kf: jnp.ndarray
+    do_insert: jnp.ndarray
+    good: jnp.ndarray
+    fsm: jnp.ndarray
+    lost_count: jnp.ndarray
+    rng: jax.Array
+    timestamp: jnp.ndarray
+    # stats for StepOutput
+    num_inliers: jnp.ndarray
+    num_final_inliers: jnp.ndarray
+    n_cand: jnp.ndarray
+    n_match: jnp.ndarray
+    viewer: jnp.ndarray | None
+
+
+def track_compute(cfg: VOConfig, camera, state: VOState, frame: FrameInput) -> TrackInter:
+    """Read-only tracking half: ORB -> match -> RANSAC/LM -> gates."""
     N = cfg.number_of_features
 
     gray = im.rgb_to_gray(frame.rgb)
@@ -223,7 +265,6 @@ def track_step(cfg: VOConfig, camera, state: VOState, frame: FrameInput):
     is_lost = state.fsm == LOST
 
     rng, k1, k2 = jax.random.split(state.rng, 3)
-    state = state._replace(rng=rng)
 
     # ---- coarse + fine pose estimation (masked no-op while INITIALIZING:
     # the empty candidate set makes LM a fixed point of the seed pose) ------
@@ -264,10 +305,48 @@ def track_step(cfg: VOConfig, camera, state: VOState, frame: FrameInput):
     do_insert = is_init | is_kf
 
     pose_used = jnp.where(is_init, se3.identity(jnp.float32), pose_f)
+
+    viewer_payload = None
+    if cfg.enable_viewer:
+        kp_matched = packing.scatter_back(
+            N, jnp.where(info["mval"], info["kpi"], N), info["mval"]
+        )
+        viewer_payload = jnp.concatenate(
+            [
+                feats.xy.astype(jnp.float32),
+                (kp_matched & feats.valid).astype(jnp.float32)[:, None],
+            ],
+            axis=-1,
+        )
+
+    return TrackInter(
+        xy=feats.xy, desc=feats.desc, bip=feats.desc_bipolar,
+        kp_valid=feats.valid, depth=dep.depth, depth_valid=dep.valid,
+        midx=info["midx"], mval=info["mval"], kpi=info["kpi"], uv=info["uv"],
+        ref_inliers=info["ref"].inliers,
+        tmap=tmap, pose_used=pose_used,
+        is_init=is_init, is_kf=is_kf, do_insert=do_insert, good=good,
+        fsm=fsm, lost_count=lost_count, rng=rng, timestamp=frame.timestamp,
+        num_inliers=info["rr"].num_inliers,
+        num_final_inliers=info["ref"].num_final_inliers,
+        n_cand=info["n_cand"], n_match=info["n_match"],
+        viewer=viewer_payload,
+    )
+
+
+def apply_updates(cfg: VOConfig, camera, state: VOState, it: TrackInter):
+    """State-update half: keyframe insert, observations, new mappoints,
+    triangulation, bookkeeping.  ``track_step = apply_updates . track_compute``."""
+    C = cfg.max_mappoints
+    N = cfg.number_of_features
+    pose_used = it.pose_used
+    is_init, is_kf, do_insert = it.is_init, it.is_kf, it.do_insert
+    fsm, lost_count = it.fsm, it.lost_count
     cam_center = cam_mod.camera_center(pose_used)
 
+    state = state._replace(rng=it.rng)
     state, kf_slot, inserted = mapstate.insert_keyframe(
-        state, pose_used, frame.timestamp, do_insert, eviction=cfg.keyframe_eviction
+        state, pose_used, it.timestamp, do_insert, eviction=cfg.keyframe_eviction
     )
     # effective keyframe predicate: a refused insert (full pool under the
     # "refuse" policy) must gate every downstream keyframe update, or the
@@ -278,10 +357,10 @@ def track_step(cfg: VOConfig, camera, state: VOState, frame: FrameInput):
     # ---- observations of PnP inliers (AddCurrentKeyframeObservations,
     # frontend.cpp:366-370: the post-BA chi2 inlier set with matched pixel) -
     # scatter-free: invert the packed match-index list and gather per slot
-    inlier_packed = info["ref"].inliers & info["mval"]
-    inlier_mp, minv = packing.inverse_lookup(C, info["midx"], inlier_packed)
-    uv_for_mp = jnp.take(info["uv"], minv, axis=0) * inlier_mp[:, None]
-    kp_depth = jnp.take(dep.depth, info["kpi"]) * jnp.take(dep.valid, info["kpi"])
+    inlier_packed = it.ref_inliers & it.mval
+    inlier_mp, minv = packing.inverse_lookup(C, it.midx, inlier_packed)
+    uv_for_mp = jnp.take(it.uv, minv, axis=0) * inlier_mp[:, None]
+    kp_depth = jnp.take(it.depth, it.kpi) * jnp.take(it.depth_valid, it.kpi)
     depth_for_mp = jnp.take(kp_depth, minv) * inlier_mp
     state = mapstate.add_observations(
         state, kf_slot, inlier_mp, uv_for_mp, cam_center, is_kf_eff,
@@ -291,20 +370,20 @@ def track_step(cfg: VOConfig, camera, state: VOState, frame: FrameInput):
     # ---- new mappoints from depth (CreateNewMappoints,
     # frontend.cpp:372-406): unmatched keypoints with valid depth -----------
     matched_kp = packing.scatter_back(
-        N, jnp.where(inlier_packed, info["kpi"], N), inlier_packed
+        N, jnp.where(inlier_packed, it.kpi, N), inlier_packed
     )
-    create_mask = feats.valid & dep.valid & ~(matched_kp & ~is_init)
-    p_world_new = cam_mod.pixel2world(camera, feats.xy, pose_used, dep.depth)
+    create_mask = it.kp_valid & it.depth_valid & ~(matched_kp & ~is_init)
+    p_world_new = cam_mod.pixel2world(camera, it.xy, pose_used, it.depth)
     n_create_req = jnp.sum(create_mask & inserted).astype(jnp.int32)
     state, n_created = mapstate.create_mappoints(
-        state, kf_slot, p_world_new, feats.desc, feats.desc_bipolar, feats.xy,
-        create_mask, cam_center, inserted, depth=dep.depth,
+        state, kf_slot, p_world_new, it.desc, it.bip, it.xy,
+        create_mask, cam_center, inserted, depth=it.depth,
     )
 
     # ---- triangulation refinement (TriangulateMappointsInTrackingMap,
     # frontend.cpp:465-506) over tracking-map inliers not yet refined ------
     tri_cand = (
-        tmap
+        it.tmap
         & inlier_mp
         & ~state.mp_triangulated
         & ~state.mp_optimized
@@ -341,35 +420,19 @@ def track_step(cfg: VOConfig, camera, state: VOState, frame: FrameInput):
         frame_index=state.frame_index + 1,
     )
 
-    # ---- live-viewer payload (static flag -> no cost when disabled):
-    # keypoints + FLANN-matched flag, the data setCurrentFrame hands the
-    # reference viewer (frontend.cpp:74, viewer.cpp:144-150) -------------
-    viewer_payload = None
-    if cfg.enable_viewer:
-        kp_matched = packing.scatter_back(
-            N, jnp.where(info["mval"], info["kpi"], N), info["mval"]
-        )
-        viewer_payload = jnp.concatenate(
-            [
-                feats.xy.astype(jnp.float32),
-                (kp_matched & feats.valid).astype(jnp.float32)[:, None],
-            ],
-            axis=-1,
-        )
-
     out = StepOutput.pack(
         pose_used,
         se3.inverse(pose_used),
-        viewer=viewer_payload,
-        tracked=good | is_init,
+        viewer=it.viewer,
+        tracked=it.good | is_init,
         fsm=fsm,
         is_keyframe=is_kf_eff,
         needs_ba=is_kf_eff & bool(cfg.enable_local_optimization),
         kf_slot=kf_slot,
-        num_candidates=info["n_cand"],
-        num_matches=info["n_match"],
-        num_inliers=info["rr"].num_inliers,
-        num_final_inliers=info["ref"].num_final_inliers,
+        num_candidates=it.n_cand,
+        num_matches=it.n_match,
+        num_inliers=it.num_inliers,
+        num_final_inliers=it.num_final_inliers,
         num_new_mappoints=n_created,
         num_triangulated=jnp.sum(tri_ok).astype(jnp.int32),
         num_keyframes=state.num_kf,
@@ -378,3 +441,13 @@ def track_step(cfg: VOConfig, camera, state: VOState, frame: FrameInput):
         num_dropped_mappoints=n_create_req - n_created,
     )
     return state, out
+
+
+def track_step(cfg: VOConfig, camera, state: VOState, frame: FrameInput):
+    """(state, frame) -> (state, StepOutput).  Pure; jit with cfg static.
+
+    The fused single-program form (best for single-stream latency).  For
+    batched multi-stream execution jit ``track_compute`` and ``apply_updates``
+    separately - see :class:`TrackInter` for why.
+    """
+    return apply_updates(cfg, camera, state, track_compute(cfg, camera, state, frame))

@@ -86,3 +86,36 @@ def test_compact_indices_empty():
     idx, valid = packing.compact_indices(mask, 4)
     assert not np.asarray(valid).any()
     assert (np.asarray(idx) == 0).all()
+
+
+def test_hamming_packed_matches_bipolar_matmul():
+    """ops/pallas_match.py oracle: distance from packed uint32 words must
+    equal the bipolar-matmul distance for the same descriptors."""
+    import numpy as np
+
+    from rgbd_visualodometry_tpu.ops import matching
+    from rgbd_visualodometry_tpu.ops.pallas_match import (
+        hamming_matrix_packed,
+        unpack_bipolar,
+    )
+
+    rng = np.random.default_rng(3)
+    bits = rng.integers(0, 2, (64, 256)).astype(np.uint32)
+    packed = (bits.reshape(64, 8, 32) << np.arange(32, dtype=np.uint32)).sum(
+        axis=-1, dtype=np.uint32
+    )
+    bip = (bits.astype(np.int8) * 2 - 1).astype(np.int8)
+
+    # unpack inverts the pack
+    np.testing.assert_array_equal(
+        np.asarray(unpack_bipolar(jnp.asarray(packed))), bip
+    )
+
+    kp = (rng.integers(0, 2, (48, 256)).astype(np.int8) * 2 - 1).astype(np.int8)
+    d_ref = np.asarray(matching.hamming_matrix(jnp.asarray(bip), jnp.asarray(kp)))
+    d_new = np.asarray(hamming_matrix_packed(jnp.asarray(packed), jnp.asarray(kp)))
+    np.testing.assert_array_equal(d_ref, d_new)
+    # brute-force spot check
+    a0 = bits[0]
+    b0 = (kp[0] > 0).astype(np.uint32)
+    assert d_ref[0, 0] == int((a0 != b0).sum())
