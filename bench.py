@@ -42,11 +42,12 @@ BASELINE_FPS_FULL_VO = _MEASURED["full_vo"]["fps_mean"]
 BASELINE_FPS_FRONTEND = _MEASURED["frontend_only"]["fps_mean"]
 WARMUP_FRAMES = 12
 MEASURE_FRAMES = 60
-# multi-stream phase: ascending sizes, reliable first - the axon TPU
-# runtime sporadically faults on larger batched programs AND a fault
-# poisons the device for subsequent programs, so the risky attempt goes
-# last and the best successful number wins
-STREAM_CASCADE = (2, 4)
+# multi-stream phase: ascending sizes, reliable first.  The round-1
+# batch>=3 runtime fault is fixed (track step split into two chained
+# programs - see pipeline/frontend.TrackInter), but the cascade stays
+# defensive: a fault can poison the device for subsequent programs, so
+# risky sizes go last and the best successful number wins
+STREAM_CASCADE = (4, 8, 16)
 
 
 

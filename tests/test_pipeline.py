@@ -167,3 +167,39 @@ def test_trajectory_file_written(tmp_path, scene):
     assert len(ts) == 5
     # first pose is identity (first frame is the world origin)
     np.testing.assert_allclose(poses[0], [1, 0, 0, 0, 0, 0, 0], atol=1e-6)
+
+
+def test_long_sequence_past_keyframe_capacity(scene):
+    """VERDICT missing item 5: run far past max_keyframes and assert no
+    silent degradation - ring eviction keeps inserting, tracking survives,
+    and the overflow flag never fires (it is a 'refuse'-policy signal)."""
+    cfg = small_cfg(
+        max_keyframes=8,  # tiny pool: ~20 keyframes expected over the run
+        enable_local_optimization=False,
+    )
+    seq = synthetic.generate_sequence(
+        90, scene=scene, step_t=(0.03, 0.004, 0.0), step_r=(0.0, 0.0, 0.006)
+    )
+    vo, results = run_sequence(cfg, seq)
+    assert all(r.tracked for r in results)
+    n_kf = sum(r.is_keyframe for r in results)
+    assert n_kf > cfg.max_keyframes  # we really overflowed the pool
+    assert not any(r.stats["kf_overflow"] for r in results)
+    # keyframe inserts kept landing after overflow (ring recycled slots);
+    # +1: the INITIALIZING frame inserts a keyframe but reports is_keyframe=0
+    assert results[-1].stats["num_keyframes"] == n_kf + 1
+    ate = ate_of(results, seq)
+    assert ate.rmse < 0.05, f"ATE {ate.rmse * 100:.2f} cm"
+
+
+def test_refuse_policy_surfaces_overflow(scene):
+    cfg = small_cfg(
+        max_keyframes=4, keyframe_eviction="refuse",
+        enable_local_optimization=False,
+    )
+    seq = synthetic.generate_sequence(
+        40, scene=scene, step_t=(0.03, 0.004, 0.0), step_r=(0.0, 0.0, 0.006)
+    )
+    vo, results = run_sequence(cfg, seq)
+    assert any(r.stats["kf_overflow"] for r in results)
+    assert results[-1].stats["num_keyframes"] == 4
