@@ -34,6 +34,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from rgbd_visualodometry_tpu import mapstate
 from rgbd_visualodometry_tpu.camera import Camera
 from rgbd_visualodometry_tpu.config import VOConfig
+from rgbd_visualodometry_tpu.pipeline import backend as backend_mod
 from rgbd_visualodometry_tpu.pipeline import frontend as frontend_mod
 
 
@@ -101,6 +102,35 @@ class MultiStreamVO:
                 donate_argnums=0,
             )
 
+        # optional per-stream local BA (full-VO multistream): one vmapped,
+        # pred-masked ba_step - streams whose lagged output requested BA get
+        # the solve, the rest keep their state (select on every leaf).  The
+        # host only reads the LAGGED packed outputs ([S, 32] floats, one
+        # small transfer per drained frame), preserving the reference's
+        # asynchronous latest-keyframe-wins backend at batch scale.
+        self.enable_backend = bool(cfg.enable_local_optimization)
+        self._ba_lag = 3
+        self._ba_pending: list = []
+        self._frames_since_ba = 1 << 30
+        if self.enable_backend:
+            ba = functools.partial(backend_mod.ba_step, cfg, self.camera)
+
+            def masked_ba(state, kf, pred):
+                new_state, _ = ba(state, kf)
+                return jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(pred, a, b), new_state, state
+                )
+
+            if mesh.devices.size == 1:
+                self._ba = jax.jit(jax.vmap(masked_ba), donate_argnums=0)
+            else:
+                self._ba = jax.jit(
+                    jax.vmap(masked_ba),
+                    in_shardings=(self._state_sharding, shard(axis), shard(axis)),
+                    out_shardings=self._state_sharding,
+                    donate_argnums=0,
+                )
+
     def step(self, rgb: np.ndarray, depth: np.ndarray, timestamps: np.ndarray):
         """One tracking step for all streams.
 
@@ -114,7 +144,30 @@ class MultiStreamVO:
         )
         inter = self._compute(self.states, frames)
         self.states, out = self._update(self.states, inter)
+        if self.enable_backend:
+            self._ba_pending.append(out)
+            self._drain_ba(self._ba_lag)
         return out
+
+    def _drain_ba(self, keep_lag: int):
+        """Materialize lagged outputs; dispatch the masked vmapped BA when
+        any stream inserted a keyframe (ba_min_frame_gap coalescing as in
+        the single-stream system / reference backend.cpp:8-17)."""
+        while len(self._ba_pending) > keep_lag:
+            o = self._ba_pending.pop(0)
+            needs = np.asarray(o.needs_ba)
+            kf_slots = jnp.asarray(np.asarray(o.kf_slot), jnp.int32)
+            self._frames_since_ba += 1
+            if needs.any() and self._frames_since_ba > self.cfg.ba_min_frame_gap:
+                self.states = self._ba(
+                    self.states, kf_slots, jnp.asarray(needs)
+                )
+                self._frames_since_ba = 0
+
+    def finish(self):
+        """Drain any lagged BA dispatches (call once after the last step)."""
+        if self.enable_backend:
+            self._drain_ba(0)
 
     def aggregate_metrics(self, out) -> dict[str, float]:
         """Cross-stream (and therefore cross-chip) reduction of counters."""

@@ -100,3 +100,44 @@ def test_graft_entry_multichip():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_multistream_full_vo_with_backend():
+    """Full-VO multistream: per-stream pred-masked vmapped local BA
+    (bench phase 2 must measure the same workload as the baseline's
+    enable_local_optimization=1 deployment)."""
+    import numpy as np
+
+    from rgbd_visualodometry_tpu.io import synthetic
+    from rgbd_visualodometry_tpu.parallel import MultiStreamVO, make_mesh
+
+    cfg = tiny_cfg().replace(
+        enable_local_optimization=True, ba_min_frame_gap=0,
+        ba_max_poses=4, ba_max_points=256,
+    )
+    mesh = make_mesh(2)
+    vo = MultiStreamVO(cfg, n_streams=2, mesh=mesh)
+    scenes = [
+        synthetic.SyntheticScene(
+            width=cfg.image_width, height=cfg.image_height,
+            fx=cfg.camera_fx, fy=cfg.camera_fy, cx=cfg.camera_cx, cy=cfg.camera_cy,
+            cell_size=0.12, seed=k,
+        )
+        for k in range(2)
+    ]
+    seqs = [
+        synthetic.generate_sequence(
+            10, scene=sc, step_t=(0.03, 0.004, 0.0), step_r=(0.0, 0.0, 0.006)
+        )
+        for sc in scenes
+    ]
+    for i in range(10):
+        rgb = np.stack([s[i].rgb for s in seqs])
+        depth = np.stack([s[i].depth for s in seqs])
+        ts = np.asarray([s[i].timestamp for s in seqs])
+        out = vo.step(rgb, depth, ts)
+    vo.finish()
+    assert bool(out.tracked.all())
+    assert vo._frames_since_ba < 1 << 29  # BA actually dispatched
+    m = vo.aggregate_metrics(out)
+    assert m["tracked_fraction"] == 1.0
