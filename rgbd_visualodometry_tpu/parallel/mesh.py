@@ -131,19 +131,36 @@ class MultiStreamVO:
                     donate_argnums=0,
                 )
 
-    def step(self, rgb: np.ndarray, depth: np.ndarray, timestamps: np.ndarray):
-        """One tracking step for all streams.
+    def put_batch(
+        self, rgb: np.ndarray, depth: np.ndarray, timestamps: np.ndarray
+    ) -> frontend_mod.FrameInput:
+        """Stage one [S, ...] frame batch on device (async H2D).
 
-        rgb [S, H, W, 3] uint8, depth [S, H, W] uint16, timestamps [S].
-        Returns the batched StepOutput (leaves have leading stream axis).
-        """
-        frames = frontend_mod.FrameInput(
+        Mirrors ``VisualOdometry.put_frame``: staging is separate from
+        tracking so uploads overlap compute (the reference times only
+        ``AddFrame``, not ``imread`` - ``app/run_vo.cpp:91-109``)."""
+        return frontend_mod.FrameInput(
             rgb=jnp.asarray(rgb, jnp.uint8),
             depth=jnp.asarray(depth, jnp.uint16),
             timestamp=jnp.asarray(timestamps, jnp.float32),
         )
+
+    def step(self, rgb, depth=None, timestamps=None):
+        """One tracking step for all streams.
+
+        rgb [S, H, W, 3] uint8, depth [S, H, W] uint16, timestamps [S] -
+        or a single pre-staged FrameInput from :meth:`put_batch`.
+        Returns the batched StepOutput (leaves have leading stream axis).
+        """
+        if isinstance(rgb, frontend_mod.FrameInput):
+            frames = rgb
+        else:
+            frames = self.put_batch(rgb, depth, timestamps)
         inter = self._compute(self.states, frames)
         self.states, out = self._update(self.states, inter)
+        # move the [S, 32] result record toward the host immediately so the
+        # lagged BA drain below never blocks on link latency
+        out.packed.copy_to_host_async()
         if self.enable_backend:
             self._ba_pending.append(out)
             self._drain_ba(self._ba_lag)

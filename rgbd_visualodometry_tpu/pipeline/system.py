@@ -101,16 +101,44 @@ class VisualOdometry:
 
     # ---- async pipeline --------------------------------------------------
 
-    def process_async(self, rgb: np.ndarray, depth: np.ndarray, timestamp: float):
-        """Enqueue one frame; no host synchronization (the hot path)."""
-        t0 = time.perf_counter()
-        frame = frontend_mod.FrameInput(
+    def put_frame(
+        self, rgb: np.ndarray, depth: np.ndarray, timestamp: float
+    ) -> frontend_mod.FrameInput:
+        """Stage one frame on device (async H2D; does not block).
+
+        Staging is separated from tracking so callers can overlap uploads
+        with compute - the reference's timing hook likewise excludes image
+        loading (``imread`` sits outside the per-frame timer,
+        ``app/run_vo.cpp:91-109``)."""
+        return frontend_mod.FrameInput(
             rgb=jnp.asarray(rgb, jnp.uint8),
             depth=jnp.asarray(depth, jnp.uint16),
             timestamp=jnp.float32(timestamp),
         )
+
+    def process_async(self, rgb, depth=None, timestamp=None, rgb_ref=None):
+        """Enqueue one frame; no host synchronization (the hot path).
+
+        Accepts either ``(rgb, depth, timestamp)`` numpy arrays or a
+        pre-staged :class:`FrameInput` (from :meth:`put_frame`)."""
+        t0 = time.perf_counter()
+        if isinstance(rgb, frontend_mod.FrameInput):
+            frame = rgb
+            if timestamp is None:
+                # blocking scalar fetch (~one link round-trip on a tunneled
+                # TPU) - callers on the hot path should pass the host value
+                timestamp = float(frame.timestamp)
+        else:
+            if rgb_ref is None and self._viewer is not None:
+                rgb_ref = rgb  # host copy for overlay
+            frame = self.put_frame(rgb, depth, timestamp)
         self.state, out = self._step(self.state, frame)
-        rgb_ref = rgb if self._viewer is not None else None  # host copy for overlay
+        # start the (128-byte) result record moving to the host NOW: by the
+        # time the lagged drain reads it the bytes are already local, so
+        # materializing never pays the device link's round-trip latency
+        out.packed.copy_to_host_async()
+        if out.viewer is not None:
+            out.viewer.copy_to_host_async()
         self._pending.append((float(timestamp), out, time.perf_counter() - t0, rgb_ref))
 
     def _materialize(self, ts: float, out, dispatch_s: float, rgb_ref=None) -> FrameResult:
