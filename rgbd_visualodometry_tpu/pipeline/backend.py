@@ -73,7 +73,8 @@ class _BAProblem(NamedTuple):
 def build_problem(cfg: VOConfig, state: VOState, kf: jnp.ndarray) -> _BAProblem:
     K = state.kf_pose.shape[0]
     C, M = state.obs_kf.shape
-    P, MB = cfg.ba_max_poses, cfg.ba_max_points
+    # the covisible window can never exceed the keyframe pool
+    P, MB = min(cfg.ba_max_poses, K), cfg.ba_max_points
 
     A = mapstate.incidence(state)
     row = jax.lax.dot_general(

@@ -141,3 +141,41 @@ def test_multistream_full_vo_with_backend():
     assert vo._frames_since_ba < 1 << 29  # BA actually dispatched
     m = vo.aggregate_metrics(out)
     assert m["tracked_fraction"] == 1.0
+
+
+def test_multistream_staged_batches():
+    """put_batch + step(FrameInput) equals the numpy step path."""
+    from rgbd_visualodometry_tpu.io import synthetic
+    from rgbd_visualodometry_tpu.parallel import MultiStreamVO
+
+    mesh = make_mesh(1, devices=jax.devices()[:1])
+    cfg = tiny_cfg()
+    seqs = [
+        synthetic.generate_sequence(
+            6,
+            scene=synthetic.SyntheticScene(
+                width=cfg.image_width, height=cfg.image_height,
+                fx=cfg.camera_fx, fy=cfg.camera_fy,
+                cx=cfg.camera_cx, cy=cfg.camera_cy, seed=s,
+            ),
+        )
+        for s in range(2)
+    ]
+
+    def batches():
+        for i in range(6):
+            rgb = np.stack([s[i].rgb for s in seqs])
+            depth = np.stack([s[i].depth for s in seqs])
+            ts = np.asarray([s[i].timestamp for s in seqs])
+            yield rgb, depth, ts
+
+    vo_a = MultiStreamVO(cfg, n_streams=2, mesh=mesh)
+    outs_a = [vo_a.step(rgb, d, ts) for rgb, d, ts in batches()]
+    vo_a.finish()
+
+    vo_b = MultiStreamVO(cfg, n_streams=2, mesh=mesh)
+    outs_b = [vo_b.step(vo_b.put_batch(rgb, d, ts)) for rgb, d, ts in batches()]
+    vo_b.finish()
+
+    for a, b in zip(outs_a, outs_b):
+        np.testing.assert_array_equal(np.asarray(a.packed), np.asarray(b.packed))

@@ -203,3 +203,30 @@ def test_refuse_policy_surfaces_overflow(scene):
     vo, results = run_sequence(cfg, seq)
     assert any(r.stats["kf_overflow"] for r in results)
     assert results[-1].stats["num_keyframes"] == 4
+
+
+def test_staged_frames_match_numpy_path(scene):
+    """put_frame + process_async(FrameInput, timestamp=...) must produce
+    bit-identical results to the numpy upload path (the bench stages frames
+    in HBM before timing, mirroring run_vo.cpp:91-109 where imread sits
+    outside the per-frame timer)."""
+    cfg = small_cfg()
+    seq = synthetic.generate_sequence(10, scene=scene)
+
+    vo_np = VisualOdometry(cfg)
+    for f in seq:
+        vo_np.process_async(f.rgb, f.depth, f.timestamp)
+    vo_np.drain(0)
+
+    vo_staged = VisualOdometry(cfg)
+    staged = [(vo_staged.put_frame(f.rgb, f.depth, f.timestamp), f.timestamp) for f in seq]
+    for fr, ts in staged:
+        vo_staged.process_async(fr, timestamp=ts)
+    vo_staged.drain(0)
+
+    assert len(vo_np.results) == len(vo_staged.results)
+    for a, b in zip(vo_np.results, vo_staged.results):
+        assert a.timestamp == b.timestamp
+        assert a.tracked == b.tracked
+        np.testing.assert_array_equal(a.pose_w_c, b.pose_w_c)
+        assert a.stats == b.stats
