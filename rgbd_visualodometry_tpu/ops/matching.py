@@ -50,6 +50,52 @@ class MatchResult(NamedTuple):
     min_distance: jnp.ndarray  # scalar int32 - best distance over all candidates
 
 
+class NearestKeypoints(NamedTuple):
+    """Pose-independent half of matching: best keypoint per map candidate."""
+
+    kp_index: jnp.ndarray  # [M] int32
+    distance: jnp.ndarray  # [M] int32 (BIG where no valid keypoint)
+
+
+def nearest_keypoints(
+    cand_bip: jnp.ndarray, kp_bip: jnp.ndarray, kp_mask: jnp.ndarray
+) -> NearestKeypoints:
+    """Exact Hamming nearest valid keypoint for every candidate row.
+
+    Depends only on the descriptors, NOT on the pose - so the coarse and
+    fine estimation rounds (``frontend.cpp:100-108``) can share one call:
+    the reference re-runs FLANN because LSH lookups are stochastic, but
+    exact matching is deterministic and the second round only changes the
+    frustum candidate mask, never the distances.
+    """
+    d = hamming_matrix(cand_bip, kp_bip)
+    d = jnp.where(kp_mask[None, :], d, BIG)
+    best_kp = jnp.argmin(d, axis=1).astype(jnp.int32)
+    best_d = jnp.min(d, axis=1)
+    return NearestKeypoints(kp_index=best_kp, distance=best_d)
+
+
+def gate_matches(
+    nn: NearestKeypoints,
+    cand_mask: jnp.ndarray,
+    match_ratio: float = 2.0,
+    min_match_distance: float = 30.0,
+) -> MatchResult:
+    """Apply the reference's adaptive distance gate
+    (``max(min_dis * match_ratio, 30)``, ``src/frontend.cpp:190-211``) to a
+    precomputed nearest-keypoint table under a candidate mask."""
+    row_ok = cand_mask & (nn.distance < BIG)
+    min_dis = jnp.min(jnp.where(row_ok, nn.distance, BIG))
+    max_dis = jnp.maximum(
+        min_dis.astype(jnp.float32) * match_ratio, min_match_distance
+    )
+    matched = row_ok & (nn.distance.astype(jnp.float32) <= max_dis)
+    return MatchResult(
+        matched=matched, kp_index=nn.kp_index, distance=nn.distance,
+        min_distance=min_dis,
+    )
+
+
 def match_descriptors(
     cand_bip: jnp.ndarray,
     cand_mask: jnp.ndarray,
@@ -66,17 +112,7 @@ def match_descriptors(
     keypoint per candidate; several candidates may share a keypoint, exactly
     like the reference's map-of-sets.
     """
-    d = hamming_matrix(cand_bip, kp_bip)
-    d = jnp.where(kp_mask[None, :], d, BIG)
-    best_kp = jnp.argmin(d, axis=1).astype(jnp.int32)
-    best_d = jnp.min(d, axis=1)
-
-    row_ok = cand_mask & (best_d < BIG)
-    min_dis = jnp.min(jnp.where(row_ok, best_d, BIG))
-    max_dis = jnp.maximum(
-        min_dis.astype(jnp.float32) * match_ratio, min_match_distance
-    )
-    matched = row_ok & (best_d.astype(jnp.float32) <= max_dis)
-    return MatchResult(
-        matched=matched, kp_index=best_kp, distance=best_d, min_distance=min_dis
+    return gate_matches(
+        nearest_keypoints(cand_bip, kp_bip, kp_mask),
+        cand_mask, match_ratio, min_match_distance,
     )

@@ -90,18 +90,22 @@ class ORBFeatures(NamedTuple):
 def _extract_patches(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     """Gather [K, PATCH, PATCH] patches centered at integer coords xy.
 
-    One flat gather over the padded image (rows then a row-window gather)
-    lowers much better on TPU than K vmapped dynamic_slices.
+    ONE flat gather over the linearized padded image: precomputed linear
+    indices ``(y + dy) * pw + (x + dx)`` feed a single ``take``.  The
+    earlier two-stage form (full-row gather then ``take_along_axis`` per
+    row) materialized a [K, PATCH, pw] intermediate - ~8 MB per level -
+    and lowered to two serialized gathers.
     """
     padded = jnp.pad(img, PATCH_R, mode="edge")
-    ph, pw = padded.shape
-    # rows: [K, PATCH, pw] via row gather, then columns via take_along_axis
-    row_idx = xy[:, 1:2] + jnp.arange(PATCH)[None, :]  # [K, PATCH] (top row = y)
-    rows = jnp.take(padded, row_idx.reshape(-1), axis=0).reshape(
-        xy.shape[0], PATCH, pw
-    )
-    col_idx = xy[:, 0:1] + jnp.arange(PATCH)[None, :]  # [K, PATCH]
-    return jnp.take_along_axis(rows, col_idx[:, None, :], axis=2)
+    pw = padded.shape[1]
+    dy = jnp.arange(PATCH, dtype=jnp.int32)
+    lin = (
+        (xy[:, 1:2, None] + dy[None, :, None]) * pw
+        + xy[:, 0:1, None]
+        + dy[None, None, :]
+    )  # [K, PATCH, PATCH]; top-left = (y, x) in padded coords
+    k = xy.shape[0]
+    return jnp.take(padded.reshape(-1), lin.reshape(k, -1)).reshape(k, PATCH, PATCH)
 
 
 def _orientations(patches: jnp.ndarray) -> jnp.ndarray:
@@ -111,30 +115,61 @@ def _orientations(patches: jnp.ndarray) -> jnp.ndarray:
     return jnp.arctan2(m01, m10)
 
 
+def _brief_offsets(angles: jnp.ndarray):
+    """Rotated, clipped integer BRIEF sample offsets: [K, 256, 2] each for
+    (dx, dy), in [-PATCH_R, PATCH_R] (cv::ORB clips samples to the patch)."""
+    pat = jnp.asarray(BRIEF_PATTERN)  # [256, 2, 2] (x, y)
+    c, s = jnp.cos(angles), jnp.sin(angles)  # [K]
+    px, py = pat[..., 0], pat[..., 1]  # [256, 2]
+    rx = c[:, None, None] * px - s[:, None, None] * py
+    ry = s[:, None, None] * px + c[:, None, None] * py
+    ox = jnp.clip(jnp.round(rx).astype(jnp.int32), -PATCH_R, PATCH_R)
+    oy = jnp.clip(jnp.round(ry).astype(jnp.int32), -PATCH_R, PATCH_R)
+    return ox, oy
+
+
+def _pack_bits(bits: jnp.ndarray):
+    """[K, 256] uint32 bits -> (packed uint32 [K, 8], bipolar int8 [K, 256])."""
+    shifts = jnp.left_shift(jnp.uint32(1), jnp.arange(32, dtype=jnp.uint32))
+    packed = jnp.sum(bits.reshape(bits.shape[0], 8, 32) * shifts, axis=-1, dtype=jnp.uint32)
+    bipolar = (bits.astype(jnp.int8) * 2 - 1).astype(jnp.int8)
+    return packed, bipolar
+
+
 def _descriptors(patches: jnp.ndarray, angles: jnp.ndarray):
     """Steered BRIEF over blurred patches.
 
     patches: [K, PATCH, PATCH] (already Gaussian-blurred),
     angles: [K]. Returns (packed uint32 [K, 8], bipolar int8 [K, 256]).
     """
-    pat = jnp.asarray(BRIEF_PATTERN)  # [256, 2, 2] (x, y)
-    c, s = jnp.cos(angles), jnp.sin(angles)  # [K]
-    px, py = pat[..., 0], pat[..., 1]  # [256, 2]
-    # rotate offsets: broadcast [K, 1, 1] x [256, 2]
-    rx = c[:, None, None] * px - s[:, None, None] * py
-    ry = s[:, None, None] * px + c[:, None, None] * py
-    ix = jnp.clip(jnp.round(rx).astype(jnp.int32) + PATCH_R, 0, PATCH - 1)
-    iy = jnp.clip(jnp.round(ry).astype(jnp.int32) + PATCH_R, 0, PATCH - 1)
+    ox, oy = _brief_offsets(angles)
+    ix, iy = ox + PATCH_R, oy + PATCH_R
     flat = patches.reshape(patches.shape[0], -1)  # [K, PATCH*PATCH]
     lin = iy * PATCH + ix  # [K, 256, 2]
     vals = jnp.take_along_axis(flat[:, None, :], lin.reshape(lin.shape[0], -1)[:, None, :], axis=-1)
     vals = vals.reshape(lin.shape)  # [K, 256, 2]
     bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint32)  # [K, 256]
+    return _pack_bits(bits)
 
-    shifts = jnp.left_shift(jnp.uint32(1), jnp.arange(32, dtype=jnp.uint32))
-    packed = jnp.sum(bits.reshape(bits.shape[0], 8, 32) * shifts, axis=-1, dtype=jnp.uint32)
-    bipolar = (bits.astype(jnp.int8) * 2 - 1).astype(jnp.int8)
-    return packed, bipolar
+
+def _descriptors_from_image(blurred: jnp.ndarray, xy: jnp.ndarray, angles: jnp.ndarray):
+    """Steered BRIEF sampled DIRECTLY from the blurred level image.
+
+    Numerically identical to extracting a [K, PATCH, PATCH] blurred patch
+    and indexing it (``patch[r + oy, r + ox] == padded[y + r + oy,
+    x + r + ox]``) but skips the 1000-row patch gather: one flat [K, 512]
+    gather replaces a [K, 961] gather plus per-row ``take_along_axis``.
+    """
+    ox, oy = _brief_offsets(angles)
+    padded = jnp.pad(blurred, PATCH_R, mode="edge")
+    pw = padded.shape[1]
+    base_y = xy[:, 1:2, None] + PATCH_R
+    base_x = xy[:, 0:1, None] + PATCH_R
+    lin = (base_y + oy) * pw + base_x + ox  # [K, 256, 2]
+    k = xy.shape[0]
+    vals = jnp.take(padded.reshape(-1), lin.reshape(k, -1)).reshape(lin.shape)
+    bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint32)
+    return _pack_bits(bits)
 
 
 @partial(jax.jit, static_argnames=("nfeatures", "nlevels", "scale", "threshold", "border"))
@@ -168,8 +203,7 @@ def extract(
         raw_patches = _extract_patches(img, xy)
         angle = _orientations(raw_patches)
         blurred = im.gaussian_blur(img, 7, 2.0)
-        blur_patches = _extract_patches(blurred, xy)
-        packed, bipolar = _descriptors(blur_patches, angle)
+        packed, bipolar = _descriptors_from_image(blurred, xy, angle)
         outs.append(
             ORBFeatures(
                 xy=xy.astype(jnp.float32) * sc,

@@ -160,13 +160,17 @@ class StepOutput(NamedTuple):
         return self._field("num_dropped_mappoints").astype(jnp.int32)
 
 
-def _match_and_estimate(cfg: VOConfig, camera, state: VOState, feats, kp_cam, dep, tmap, pose, key, is_lost):
+def _match_and_estimate(cfg: VOConfig, camera, state: VOState, nn, feats, kp_cam, dep, tmap, pose, key, is_lost):
     """One coarse-or-fine round: candidates -> match -> RANSAC -> LM.
 
     The reference runs this twice per frame (``frontend.cpp:100-108``); the
     second round benefits from the refreshed pose in the frustum filter.
     While LOST (relocalization), the frustum/angle filter is bypassed and
     the whole alive map is the candidate set - the stale pose means nothing.
+
+    ``nn`` is the pose-independent nearest-keypoint table, computed once
+    per frame and shared by both rounds (only the frustum mask and the
+    adaptive gate differ - see :func:`matching.nearest_keypoints`).
     """
     observable = cam_mod.in_frustum(
         camera, state.mp_pos, pose, state.mp_norm, cfg.max_observe_angle
@@ -174,9 +178,8 @@ def _match_and_estimate(cfg: VOConfig, camera, state: VOState, feats, kp_cam, de
     cand = tmap & observable  # outliers already excluded from tmap
     if cfg.enable_relocalization:
         cand = jnp.where(is_lost, state.mp_alive, cand)
-    mres = matching.match_descriptors(
-        state.mp_bip, cand, feats.desc_bipolar, feats.valid,
-        cfg.match_ratio, cfg.min_match_distance,
+    mres = matching.gate_matches(
+        nn, cand, cfg.match_ratio, cfg.min_match_distance
     )
     midx, mval = packing.compact_indices(mres.matched, cfg.pnp_max_points)
     p_w = jnp.take(state.mp_pos, midx, axis=0)
@@ -269,8 +272,9 @@ def track_compute(cfg: VOConfig, camera, state: VOState, frame: FrameInput) -> T
     # ---- coarse + fine pose estimation (masked no-op while INITIALIZING:
     # the empty candidate set makes LM a fixed point of the seed pose) ------
     tmap = mapstate.tracking_map_mask(state, cfg)
-    pose_c, _ = _match_and_estimate(cfg, camera, state, feats, kp_cam, dep, tmap, state.prev_pose, k1, is_lost)
-    pose_f, info = _match_and_estimate(cfg, camera, state, feats, kp_cam, dep, tmap, pose_c, k2, is_lost)
+    nn = matching.nearest_keypoints(state.mp_bip, feats.desc_bipolar, feats.valid)
+    pose_c, _ = _match_and_estimate(cfg, camera, state, nn, feats, kp_cam, dep, tmap, state.prev_pose, k1, is_lost)
+    pose_f, info = _match_and_estimate(cfg, camera, state, nn, feats, kp_cam, dep, tmap, pose_c, k2, is_lost)
 
     # ---- quality gate (IsGoodEstimation, frontend.cpp:334-351) -----------
     rel = se3.log(se3.relative(state.prev_pose, pose_f))
