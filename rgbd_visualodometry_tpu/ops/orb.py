@@ -13,8 +13,13 @@ Design differences forced (and enabled) by the TPU:
   distribution) rather than OpenCV's learned table; descriptors only ever
   match against descriptors produced by this module, so self-consistency is
   what matters (SURVEY.md section 7 hard part #1 discussion).
-- Rotation is applied with continuous cos/sin instead of OpenCV's 12-degree
-  quantization - cheaper here, slightly more accurate.
+- Pattern rotation is quantized to ``angle_bins`` steps (the original ORB
+  paper used 30 = 12-degree steps), which lets the BRIEF
+  comparisons for every bin be precomputed as one signed-difference matmul
+  (see ``_brief_diff_table``) - per-element gathers are the slowest
+  primitive on TPU and are avoided entirely on the descriptor path.  The
+  default of 90 bins (4 degrees) puts the binning error at the level of
+  the sampler's own integer-offset rounding (r_max * dtheta/2 ~ 0.45 px).
 - Descriptors are emitted twice: packed ``uint32[8]`` (storage, 256 bits)
   and bipolar ``int8[256]`` (so Hamming matching can run on the MXU as an
   int8 matmul - see :mod:`rgbd_visualodometry_tpu.ops.matching`).
@@ -152,6 +157,35 @@ def _descriptors(patches: jnp.ndarray, angles: jnp.ndarray):
     return _pack_bits(bits)
 
 
+def _brief_diff_table(angle_bins: int) -> np.ndarray:
+    """[PATCH*PATCH, angle_bins*256] int8 signed difference table.
+
+    Column ``q*256 + s`` holds ``e_{p1} - e_{p0}`` for BRIEF test ``s``
+    rotated by bin angle ``2*pi*q/angle_bins`` (offsets rounded and clipped
+    exactly like the per-keypoint sampler).  ``patch_flat @ table > 0``
+    then reproduces every test's comparison for every bin at once on the
+    MXU - no per-element gathers.  cv::ORB itself quantizes the pattern
+    rotation (12-degree steps); ``angle_bins=30`` mirrors that.
+    """
+    pat = BRIEF_PATTERN  # [256, 2, 2] (x, y)
+    px, py = pat[..., 0], pat[..., 1]  # [256, 2]
+    table = np.zeros((PATCH * PATCH, angle_bins * N_BITS), np.int8)
+    for q in range(angle_bins):
+        th = 2.0 * np.pi * q / angle_bins
+        c, s = np.cos(th), np.sin(th)
+        rx = np.clip(np.round(c * px - s * py).astype(np.int64), -PATCH_R, PATCH_R)
+        ry = np.clip(np.round(s * px + c * py).astype(np.int64), -PATCH_R, PATCH_R)
+        lin = (ry + PATCH_R) * PATCH + (rx + PATCH_R)  # [256, 2]
+        cols = q * N_BITS + np.arange(N_BITS)
+        # bit s is 1 iff patch[p0] < patch[p1]  <=>  patch @ (e_p1 - e_p0) > 0
+        np.add.at(table, (lin[:, 1], cols), 1)
+        np.add.at(table, (lin[:, 0], cols), -1)
+    return table
+
+
+_DIFF_TABLES: dict[int, np.ndarray] = {}
+
+
 def _descriptors_from_image(blurred: jnp.ndarray, xy: jnp.ndarray, angles: jnp.ndarray):
     """Steered BRIEF sampled DIRECTLY from the blurred level image.
 
@@ -172,7 +206,12 @@ def _descriptors_from_image(blurred: jnp.ndarray, xy: jnp.ndarray, angles: jnp.n
     return _pack_bits(bits)
 
 
-@partial(jax.jit, static_argnames=("nfeatures", "nlevels", "scale", "threshold", "border"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "nfeatures", "nlevels", "scale", "threshold", "border", "angle_bins"
+    ),
+)
 def extract(
     gray: jnp.ndarray,
     nfeatures: int = 500,
@@ -180,6 +219,7 @@ def extract(
     scale: float = 1.2,
     threshold: float = 20.0,
     border: int = 31,
+    angle_bins: int = 90,
 ) -> ORBFeatures:
     """Full ORB extraction on a float32 grayscale image [H, W].
 
@@ -192,7 +232,8 @@ def extract(
     quotas = im.features_per_level(nfeatures, nlevels, scale)
     scales = im.level_scales(nlevels, scale)
 
-    outs = []
+    # Phase 1: per-level detection (fused elementwise + one top_k each).
+    dets = []  # (lvl, sc, quota, xy, resp, valid)
     for lvl, (img, quota, sc) in enumerate(zip(pyr, quotas, scales)):
         if quota == 0:
             continue
@@ -200,24 +241,111 @@ def extract(
         h, w = img.shape
         b = min(border, max((min(h, w) - 2 * PATCH_R - 2) // 2, PATCH_R + 1))
         xy, resp, valid = fast.detect_level(img, threshold, b, quota)
-        raw_patches = _extract_patches(img, xy)
-        angle = _orientations(raw_patches)
-        blurred = im.gaussian_blur(img, 7, 2.0)
-        packed, bipolar = _descriptors_from_image(blurred, xy, angle)
-        outs.append(
-            ORBFeatures(
-                xy=xy.astype(jnp.float32) * sc,
-                response=resp,
-                angle=angle,
-                octave=jnp.full(quota, lvl, jnp.int32),
-                size=jnp.full(quota, 31.0 * sc, jnp.float32),
-                valid=valid,
-                desc=packed,
-                desc_bipolar=bipolar,
-            )
-        )
+        dets.append((lvl, sc, quota, xy, resp, valid))
 
-    merged = ORBFeatures(*[jnp.concatenate(f, axis=0) for f in zip(*outs)])
+    # Phase 2: patch sampling WITHOUT per-element gathers.  TPU gathers run
+    # at ~1 element / 8 cycles, which made the per-keypoint patch + BRIEF
+    # sampling (500 x 961 + 500 x 512 elements) the single most expensive
+    # stage of the whole VO pipeline (~51 ms of a 77 ms batched-8 step).
+    # Instead:
+    #   1. every level is padded onto a common [ph0, pw0] canvas (raw and
+    #      blurred stacked), so keypoint rows live in one 3-D array;
+    #   2. patch ROWS are fetched with a contiguous row-take (vectorizes),
+    #      and the column window is cut with a batched one-hot matmul on
+    #      the MXU;
+    #   3. the intensity-centroid moments are a [N, PATCH^2] @ [PATCH^2, 2]
+    #      matmul;
+    #   4. BRIEF comparisons for ALL angle bins are one
+    #      [N, PATCH^2] @ [PATCH^2, Q*256] signed-difference matmul, and
+    #      the keypoint's bin is picked with a one-hot multiply - cv::ORB
+    #      itself quantizes pattern rotation to 12-degree steps, so
+    #      angle_bins=30 reproduces OpenCV semantics.
+    if angle_bins not in _DIFF_TABLES:
+        _DIFF_TABLES[angle_bins] = _brief_diff_table(angle_bins)
+    diff_table = jnp.asarray(_DIFF_TABLES[angle_bins])
+
+    ph0 = pyr[0].shape[0] + 2 * PATCH_R
+    pw0 = pyr[0].shape[1] + 2 * PATCH_R
+    canvases = []
+    canvas_slot = {}
+    for lvl, (img, quota) in enumerate(zip(pyr, quotas)):
+        if quota == 0:
+            continue
+        padded = jnp.pad(img, PATCH_R, mode="edge")
+        blurred_p = jnp.pad(im.gaussian_blur(img, 7, 2.0), PATCH_R, mode="edge")
+        h, w = padded.shape
+        canvas_slot[lvl] = len(canvases) // 2  # level's block pair index
+        canvases.append(jnp.pad(padded, ((0, ph0 - h), (0, pw0 - w))))
+        canvases.append(jnp.pad(blurred_p, ((0, ph0 - h), (0, pw0 - w))))
+    # [2L * ph0, pw0]: raw canvas of level l at slot 2l, blurred at 2l+1
+    canvas = jnp.concatenate(canvases, axis=0)
+
+    xy_all = jnp.concatenate([d[3] for d in dets], axis=0)  # [N, 2] int32
+    slot_all = jnp.concatenate(
+        [jnp.full(d[2], canvas_slot[d[0]], jnp.int32) for d in dets]
+    )
+    n_all = xy_all.shape[0]
+
+    # rows for raw and blurred patches: [N, 2, PATCH] row indices into canvas
+    dy = jnp.arange(PATCH, dtype=jnp.int32)
+    row_raw = (2 * slot_all)[:, None] * ph0 + xy_all[:, 1:2] + dy[None, :]
+    row_blur = row_raw + ph0
+    rows_idx = jnp.concatenate([row_raw, row_blur], axis=1)  # [N, 2*PATCH]
+    rows = jnp.take(canvas, rows_idx.reshape(-1), axis=0).reshape(
+        n_all, 2 * PATCH, pw0
+    )
+    # column window via batched one-hot matmul (contract over pw0)
+    col_idx = xy_all[:, 0:1] + dy[None, :]  # [N, PATCH]
+    colsel = (col_idx[:, None, :] == jnp.arange(pw0)[None, :, None]).astype(
+        jnp.float32
+    )  # [N, pw0, PATCH]
+    patches2 = jax.lax.dot_general(
+        rows, colsel,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [N, 2*PATCH, PATCH]
+    raw_flat = patches2[:, :PATCH, :].reshape(n_all, PATCH * PATCH)
+    blur_flat = patches2[:, PATCH:, :].reshape(n_all, PATCH * PATCH)
+
+    # orientation: centroid moments as one matmul
+    cxy = jnp.stack(
+        [jnp.asarray(_CX).reshape(-1), jnp.asarray(_CY).reshape(-1)], axis=1
+    )  # [PATCH^2, 2]
+    m = raw_flat @ cxy  # [N, 2]
+    angle = jnp.arctan2(m[:, 1], m[:, 0])
+
+    # BRIEF: all bins at once, then one-hot bin select
+    d_all = jax.lax.dot_general(
+        blur_flat, diff_table.astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(n_all, angle_bins, N_BITS)
+    qbin = (
+        jnp.floor(angle * (angle_bins / (2.0 * jnp.pi)) + 0.5).astype(jnp.int32)
+        % angle_bins
+    )
+    bin_onehot = (qbin[:, None] == jnp.arange(angle_bins)[None, :]).astype(
+        jnp.float32
+    )
+    bits = (
+        jnp.sum((d_all > 0).astype(jnp.float32) * bin_onehot[:, :, None], axis=1)
+        > 0.5
+    ).astype(jnp.uint32)
+    packed, bipolar = _pack_bits(bits)
+
+    merged = ORBFeatures(
+        xy=xy_all.astype(jnp.float32)
+        * jnp.concatenate([jnp.full(d[2], d[1], jnp.float32) for d in dets])[:, None],
+        response=jnp.concatenate([d[4] for d in dets]),
+        angle=angle,
+        octave=jnp.concatenate([jnp.full(d[2], d[0], jnp.int32) for d in dets]),
+        size=jnp.concatenate(
+            [jnp.full(d[2], 31.0 * d[1], jnp.float32) for d in dets]
+        ),
+        valid=jnp.concatenate([d[5] for d in dets]),
+        desc=packed,
+        desc_bipolar=bipolar,
+    )
     # zero out invalid lanes so downstream masked math sees benign values
     v = merged.valid
     return merged._replace(

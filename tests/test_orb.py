@@ -165,3 +165,41 @@ def test_pyramid_shapes():
     assert shapes[0] == (480, 640)
     assert shapes[1] == (400, 533)
     assert all(shapes[i][0] > shapes[i + 1][0] for i in range(7))
+
+
+def test_diff_table_matches_continuous_sampler_at_bin_centers(test_image):
+    """The matmul descriptor path (diff-table over quantized angle bins)
+    must reproduce the per-keypoint continuous sampler exactly when the
+    keypoint angle sits on a bin center."""
+    import jax.numpy as jnp
+
+    from rgbd_visualodometry_tpu.ops import image as im
+    from rgbd_visualodometry_tpu.ops.orb import (
+        PATCH_R,
+        _brief_diff_table,
+        _descriptors_from_image,
+        _pack_bits,
+        N_BITS,
+    )
+
+    img = jnp.asarray(test_image)
+    blurred = im.gaussian_blur(img, 7, 2.0)
+    Q = 30
+    table = _brief_diff_table(Q)
+    h, w = test_image.shape
+    xy = jnp.asarray([[40, 40], [w - 45, h - 45], [60, 33]], jnp.int32)
+
+    padded = jnp.pad(blurred, PATCH_R, mode="edge")
+    for q in [0, 7, 15, 29]:
+        ang = jnp.full(xy.shape[0], 2.0 * np.pi * q / Q, jnp.float32)
+        ref_packed, _ = _descriptors_from_image(blurred, xy, ang)
+        # table path: extract the blurred patch and apply bin q's columns
+        patches = np.stack([
+            np.asarray(padded)[y : y + 2 * PATCH_R + 1, x : x + 2 * PATCH_R + 1]
+            for x, y in np.asarray(xy)
+        ])
+        flat = patches.reshape(len(patches), -1)
+        d = flat @ table[:, q * N_BITS : (q + 1) * N_BITS].astype(np.float64)
+        bits = (d > 0).astype(np.uint32)
+        got_packed, _ = _pack_bits(jnp.asarray(bits))
+        np.testing.assert_array_equal(np.asarray(ref_packed), np.asarray(got_packed))
