@@ -46,8 +46,10 @@ MEASURE_FRAMES = 60
 # batch>=3 runtime fault is fixed (track step split into two chained
 # programs - see pipeline/frontend.TrackInter), but the cascade stays
 # defensive: a fault can poison the device for subsequent programs, so
-# risky sizes go last and the best successful number wins
-STREAM_CASCADE = (4, 8, 16)
+# risky sizes go last and the best successful number wins.  Aggregate
+# throughput plateaus by 8 streams (compute-bound per stream), so two
+# sizes suffice.
+STREAM_CASCADE = (8, 16)
 
 
 
