@@ -118,6 +118,12 @@ def bench_multistream(cfg, n_streams: int | None = None, full_vo: bool = False) 
         max_mappoints=16384, max_keyframes=128, max_obs_per_mappoint=8,
         ba_max_points=2048, ba_max_poses=8,
         enable_local_optimization=full_vo,
+        # the reference backend coalesces keyframes under load (condvar
+        # without a queue - latest wins, backend.cpp:8-17).  At >200
+        # aggregate FPS a ~100+ ms batched solve can absorb roughly one
+        # dispatch per handful of steps; gap=4 reproduces that behavior
+        # instead of serializing a solve behind every batched step.
+        ba_min_frame_gap=max(cfg.ba_min_frame_gap, 4) if full_vo else cfg.ba_min_frame_gap,
     )
     mesh = make_mesh(1)
     vo = MultiStreamVO(mcfg, n_streams=N_STREAMS, mesh=mesh)

@@ -95,6 +95,11 @@ class VOConfig:
     ba_min_frame_gap: int = 0
     ba_max_poses: int = 16  # covisible-window pose capacity (padded)
     ba_max_points: int = 8192  # mappoint capacity inside one BA solve
+    # bf16 for the per-edge block products inside the LM body (f32
+    # accumulation and solves).  ~2x less HBM traffic per iteration; the
+    # normal-equation blocks lose ~3 significand bits, well inside the
+    # robustified solver's tolerance (chi2 gating and costs stay f32).
+    ba_bf16: bool = True
 
     # ---- tracking-map / covisibility (frame.cpp:114, frontend.cpp:163-166) --
     covisibility_weight_threshold: int = 15

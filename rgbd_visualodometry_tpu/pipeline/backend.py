@@ -221,6 +221,16 @@ def _lm_phase(cfg, camera, prob, poses0, pts0, obs_mask, iterations, huber_delta
         wd = maskf * w_depth_info
         wdp = wd * prob.o_pose_free.astype(jnp.float32)
 
+        # low-precision per-edge block building (f32 accumulation): the
+        # [MB, M, 6, 6]/[6, 3] outer products are pure bandwidth, and bf16
+        # halves the bytes; damping/solve/cost stay f32.  `ba_bf16=False`
+        # restores full f32 end to end.
+        ct = jnp.bfloat16 if getattr(cfg, "ba_bf16", True) else jnp.float32
+        Jp_c, Jl_c = Jp.astype(ct), Jl.astype(ct)
+        Jdpo_c, Jdpt_c = Jd_pose.astype(ct), Jd_pt.astype(ct)
+        w_c, wd_c = w.astype(ct), wd.astype(ct)
+        wp_c, wdp_c = wp.astype(ct), wdp.astype(ct)
+
         def outer_k(a, b):
             """sum_k a[..., k, :, None] * b[..., k, None, :] (k = 2 rows)."""
             return (
@@ -228,11 +238,12 @@ def _lm_phase(cfg, camera, prob, poses0, pts0, obs_mask, iterations, huber_delta
                 + a[..., 1, :, None] * b[..., 1, None, :]
             )
 
-        # per-point blocks: plain sums over the M axis
+        # per-point blocks: plain sums over the M axis (f32 accumulate)
         V = jnp.sum(
-            w[..., None, None] * outer_k(Jl, Jl)
-            + wd[..., None, None] * (Jd_pt[..., :, None] * Jd_pt[..., None, :]),
+            w_c[..., None, None] * outer_k(Jl_c, Jl_c)
+            + wd_c[..., None, None] * (Jdpt_c[..., :, None] * Jdpt_c[..., None, :]),
             axis=1,
+            dtype=jnp.float32,
         )
         gl = jnp.sum(
             w[..., None] * jnp.sum(Jl * e[..., None], axis=-2)
@@ -241,11 +252,11 @@ def _lm_phase(cfg, camera, prob, poses0, pts0, obs_mask, iterations, huber_delta
         )
         # per-(point,slot) blocks, then one-hot matmuls to pose space (the
         # only true matmuls here - [P, MB*M] @ [MB*M, ...] on the MXU)
-        UJp = wp[..., None, None] * outer_k(Jp, Jp) + (
-            wdp[..., None, None] * (Jd_pose[..., :, None] * Jd_pose[..., None, :])
+        UJp = wp_c[..., None, None] * outer_k(Jp_c, Jp_c) + (
+            wdp_c[..., None, None] * (Jdpo_c[..., :, None] * Jdpo_c[..., None, :])
         )
         MBn, Mn = UJp.shape[0], UJp.shape[1]
-        oh_flat = prob.o_onehot.reshape(MBn * Mn, -1)  # [MB*M, P]
+        oh_flat = prob.o_onehot.astype(ct).reshape(MBn * Mn, -1)  # [MB*M, P]
         U = jax.lax.dot_general(
             oh_flat, UJp.reshape(MBn * Mn, 36),
             dimension_numbers=(((0,), (0,)), ((), ())),
@@ -255,21 +266,20 @@ def _lm_phase(cfg, camera, prob, poses0, pts0, obs_mask, iterations, huber_delta
             wdp[..., None] * Jd_pose * r_d[..., None]
         )
         gp = jax.lax.dot_general(
-            oh_flat, gpe.reshape(MBn * Mn, 6),
+            oh_flat.astype(jnp.float32), gpe.reshape(MBn * Mn, 6),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        WJ = wp[..., None, None] * outer_k(Jp, Jl) + (
-            wdp[..., None, None] * (Jd_pose[..., :, None] * Jd_pt[..., None, :])
+        WJ = wp_c[..., None, None] * outer_k(Jp_c, Jl_c) + (
+            wdp_c[..., None, None] * (Jdpo_c[..., :, None] * Jdpt_c[..., None, :])
         )  # [MB, M, 6, 3]
-        # Wt[p, i] = sum_m onehot[p, m, i] WJ[p, m]: unrolled over the M
-        # slots - M masked adds of [MB, P, 18] avoid both an [MB]-batched
-        # tiny matmul and a [MB, M, P, 18] broadcast intermediate
-        WJf = WJ.reshape(MBn, Mn, 18)
-        Wt = prob.o_onehot[:, 0, :, None] * WJf[:, 0, None, :]
-        for m in range(1, Mn):
-            Wt = Wt + prob.o_onehot[:, m, :, None] * WJf[:, m, None, :]
-        Wt = Wt.reshape(MBn, P, 6, 3)
+        # Wt[p, i, :] = sum_m onehot[p, m, i] WJ[p, m, :]: batched
+        # dot_general contracting M (f32 accumulation on the MXU)
+        Wt = jax.lax.dot_general(
+            prob.o_onehot.astype(ct), WJ.reshape(MBn, Mn, 18),
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(MBn, P, 6, 3)
 
         lam = st.lam
         Ud = U + lam * jnp.eye(6, dtype=jnp.float32)[None]
@@ -288,7 +298,15 @@ def _lm_phase(cfg, camera, prob, poses0, pts0, obs_mask, iterations, huber_delta
         )
         rhs = rhs * fm[:, None]
 
-        dp = jnp.linalg.solve(S.reshape(P * 6, P * 6), rhs.reshape(P * 6)).reshape(P, 6)
+        # Cholesky instead of LU: S is SPD after damping (+ identity rows
+        # for fixed poses), and XLA's pivoting LU lowers to scalar-heavy
+        # code for small systems on TPU
+        Sm = S.reshape(P * 6, P * 6)
+        L = jnp.linalg.cholesky(Sm)
+        y = jax.scipy.linalg.solve_triangular(L, rhs.reshape(P * 6), lower=True)
+        dp = jax.scipy.linalg.solve_triangular(
+            L, y, lower=True, trans=1
+        ).reshape(P, 6)
         dl = jnp.einsum("pij,pj->pi", Vinv, -gl - jnp.einsum("piak,ia->pk", Wt, dp))
 
         cand_poses = se3.normalize(se3.compose(se3.exp(dp), st.poses))
