@@ -261,8 +261,15 @@ def extract(
     #      itself quantizes pattern rotation to 12-degree steps, so
     #      angle_bins=30 reproduces OpenCV semantics.
     if angle_bins not in _DIFF_TABLES:
-        _DIFF_TABLES[angle_bins] = _brief_diff_table(angle_bins)
-    diff_table = jnp.asarray(_DIFF_TABLES[angle_bins])
+        full_table = _brief_diff_table(angle_bins)
+        # the BRIEF pattern lives in a disc of radius PATTERN_R (+rounding),
+        # so ~45% of the 33x33 patch rows are all-zero in the table - drop
+        # them from the matmul (the row subset is data-derived and exact)
+        rows = np.where(np.any(full_table != 0, axis=1))[0].astype(np.int32)
+        _DIFF_TABLES[angle_bins] = (full_table[rows], rows)
+    _tbl, _tbl_rows = _DIFF_TABLES[angle_bins]
+    diff_table = jnp.asarray(_tbl)
+    diff_rows = jnp.asarray(_tbl_rows)
 
     ph0 = pyr[0].shape[0] + 2 * PATCH_R
     pw0 = pyr[0].shape[1] + 2 * PATCH_R
@@ -314,9 +321,16 @@ def extract(
     m = raw_flat @ cxy  # [N, 2]
     angle = jnp.arctan2(m[:, 1], m[:, 0])
 
-    # BRIEF: all bins at once, then one-hot bin select
+    # BRIEF: all bins at once, then one-hot bin select.  bf16 operands with
+    # f32 accumulation: blurred pixel values fit bf16's 8-bit significand to
+    # within half a gray level - the same magnitude as the sampler's own
+    # 0.5 px offset rounding - and the matmul is the biggest FLOP block of
+    # the whole frontend ([N, 33^2] @ [33^2, Q*256]).
+    # CPU's dot thunk lacks bf16 x bf16 -> f32; only the TPU path narrows
+    bt = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
     d_all = jax.lax.dot_general(
-        blur_flat, diff_table.astype(jnp.float32),
+        jnp.take(blur_flat, diff_rows, axis=1).astype(bt),
+        diff_table.astype(bt),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).reshape(n_all, angle_bins, N_BITS)
