@@ -328,23 +328,31 @@ def extract(
     # the whole frontend ([N, 33^2] @ [33^2, Q*256]).
     # CPU's dot thunk lacks bf16 x bf16 -> f32; only the TPU path narrows
     bt = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
-    d_all = jax.lax.dot_general(
-        jnp.take(blur_flat, diff_rows, axis=1).astype(bt),
-        diff_table.astype(bt),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).reshape(n_all, angle_bins, N_BITS)
+    blur_disc = jnp.take(blur_flat, diff_rows, axis=1).astype(bt)
     qbin = (
         jnp.floor(angle * (angle_bins / (2.0 * jnp.pi)) + 0.5).astype(jnp.int32)
         % angle_bins
     )
-    bin_onehot = (qbin[:, None] == jnp.arange(angle_bins)[None, :]).astype(
-        jnp.float32
-    )
-    bits = (
-        jnp.sum((d_all > 0).astype(jnp.float32) * bin_onehot[:, :, None], axis=1)
-        > 0.5
-    ).astype(jnp.uint32)
+    # chunk the per-bin matmul + bin select so the [N, Q, 256] comparison
+    # tensor is never materialized whole (at 64 batched streams it would be
+    # ~3 GB of HBM); each chunk's slab dies after its masked reduction
+    chunk = 6
+    bits_acc = jnp.zeros((n_all, N_BITS), jnp.float32)
+    for q0 in range(0, angle_bins, chunk):
+        qn = min(chunk, angle_bins - q0)
+        d = jax.lax.dot_general(
+            blur_disc, diff_table[:, q0 * N_BITS : (q0 + qn) * N_BITS].astype(bt),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(n_all, qn, N_BITS)
+        sel = (
+            (qbin[:, None] >= q0) & (qbin[:, None] < q0 + qn)
+            & (qbin[:, None] - q0 == jnp.arange(qn)[None, :])
+        ).astype(jnp.float32)
+        bits_acc = bits_acc + jnp.sum(
+            (d > 0).astype(jnp.float32) * sel[:, :, None], axis=1
+        )
+    bits = (bits_acc > 0.5).astype(jnp.uint32)
     packed, bipolar = _pack_bits(bits)
 
     merged = ORBFeatures(
