@@ -122,7 +122,7 @@ def bench_multistream(cfg, n_streams: int | None = None, full_vo: bool = False) 
 
     mcfg = cfg.replace(
         max_mappoints=16384, max_keyframes=128, max_obs_per_mappoint=8,
-        ba_max_points=2048, ba_max_poses=8,
+        ba_max_points=1024, ba_max_poses=8,
         # typical per-frame inlier sets are 200-400 at this map scale; the
         # default 1024-slot compaction cap mostly pays for empty lanes
         # (every [C, k] inverse-lookup matrix and PnP/LM row count scales
