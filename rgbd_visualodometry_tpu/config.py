@@ -100,6 +100,12 @@ class VOConfig:
     # normal-equation blocks lose ~3 significand bits, well inside the
     # robustified solver's tolerance (chi2 gating and costs stay f32).
     ba_bf16: bool = True
+    # BRIEF pattern-rotation quantization bins for the diff-table matmul
+    # descriptor path (ops/orb.py); more bins = closer to the continuous
+    # sampler at linearly more descriptor-matmul FLOPs.  240-frame synthetic
+    # ATE: 90 bins 0.83 cm, 120 bins 0.73 cm (saturated - the sampler's own
+    # 0.5 px offset rounding dominates beyond this), measured baseline 0.78.
+    orb_angle_bins: int = 120
 
     # ---- tracking-map / covisibility (frame.cpp:114, frontend.cpp:163-166) --
     covisibility_weight_threshold: int = 15

@@ -259,6 +259,7 @@ def track_compute(cfg: VOConfig, camera, state: VOState, frame: FrameInput) -> T
         scale=cfg.scale_factor,
         threshold=float(cfg.fast_threshold),
         border=cfg.edge_threshold,
+        angle_bins=cfg.orb_angle_bins,
     )
     dep = depth_mod.lookup_depth(frame.depth, feats.xy, camera.depth_scale)
     kp_cam = cam_mod.pixel2camera(camera, feats.xy, dep.depth)
