@@ -89,8 +89,10 @@ def main(argv=None):
 
         from rgbd_visualodometry_tpu.io.checkpoint import load_state
 
-        state, _ = load_state(args.load_map)
+        state, _, meta = load_state(args.load_map, with_meta=True)
         vo.state = jax.device_put(state, vo.device)
+        if meta.get("time_base") is not None:
+            vo.time_base = float(meta["time_base"])
     t0 = time.perf_counter()
     results = vo.run(
         frames, trajectory_path=cfg.output_file, verbose=not args.quiet,
@@ -100,7 +102,7 @@ def main(argv=None):
     if args.save_map:
         from rgbd_visualodometry_tpu.io.checkpoint import save_state
 
-        save_state(vo.state, cfg, args.save_map)
+        save_state(vo.state, cfg, args.save_map, meta={"time_base": vo.time_base})
         print(f"map checkpoint written to {args.save_map}")
 
     if cfg.enable_viewer:

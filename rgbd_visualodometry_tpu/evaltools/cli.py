@@ -5,6 +5,7 @@ Usage (mirrors the reference tools' argument order):
     python -m rgbd_visualodometry_tpu.evaltools.cli ate GROUNDTRUTH EST
     python -m rgbd_visualodometry_tpu.evaltools.cli rpe GROUNDTRUTH EST --delta 1.0
     python -m rgbd_visualodometry_tpu.evaltools.cli associate RGB_TXT DEPTH_TXT
+    python -m rgbd_visualodometry_tpu.evaltools.cli plot RGB_TXT TRAJ --out-dir DIR
 """
 
 from __future__ import annotations
@@ -49,6 +50,18 @@ def main(argv=None):
     s.add_argument("second_file")
     s.add_argument("--offset", type=float, default=0.0)
     s.add_argument("--max_difference", type=float, default=0.02)
+
+    # tools/plot_trajectory_into_image.py twin: project every past camera
+    # pose into each frame as RGB axes (its hard-coded Kinect intrinsics
+    # 525 / 319.5 / 239.5 stay the defaults)
+    p = sub.add_parser("plot", help="draw the trajectory's camera axes into the image sequence")
+    p.add_argument("image_list", help="TUM rgb.txt (stamp path per line)")
+    p.add_argument("trajectory_file", help="TUM trajectory (stamp tx ty tz qx qy qz qw)")
+    p.add_argument("--out-dir", default="plot_out")
+    p.add_argument("--fx", type=float, default=525.0)
+    p.add_argument("--fy", type=float, default=525.0)
+    p.add_argument("--cx", type=float, default=319.5)
+    p.add_argument("--cy", type=float, default=239.5)
 
     args = ap.parse_args(argv)
 
@@ -108,6 +121,29 @@ def main(argv=None):
                 f"{ft[i]:.6f} {' '.join(first[ft[i]])} "
                 f"{st[j]:.6f} {' '.join(second[st[j]])}"
             )
+    elif args.cmd == "plot":
+        import os
+
+        from PIL import Image
+
+        from rgbd_visualodometry_tpu.evaltools.plot_trajectory import (
+            plot_trajectory_sequence,
+        )
+
+        image_list = read_file_list(args.image_list)
+        folder = os.path.dirname(os.path.abspath(args.image_list))
+        traj_ts, traj = read_trajectory(args.trajectory_file)
+
+        def frame_iter():
+            for ts in sorted(image_list):
+                path = os.path.join(folder, image_list[ts][0])
+                yield ts, np.asarray(Image.open(path).convert("RGB"))
+
+        written = plot_trajectory_sequence(
+            traj_ts, traj, frame_iter(), args.out_dir,
+            args.fx, args.fy, args.cx, args.cy,
+        )
+        print(f"{len(written)} images written to {args.out_dir}")
     return 0
 
 

@@ -20,17 +20,26 @@ from rgbd_visualodometry_tpu.config import VOConfig
 from rgbd_visualodometry_tpu.mapstate import VOState
 
 
-def save_state(state: VOState, cfg: VOConfig, path: str) -> None:
-    """Serialize the full VO state + config to ``path`` (.npz)."""
+def save_state(state: VOState, cfg: VOConfig, path: str, meta: dict | None = None) -> None:
+    """Serialize the full VO state + config to ``path`` (.npz).
+
+    ``meta`` holds small host-side session values that are not device state,
+    e.g. ``time_base`` (the absolute float64 time origin - device timestamps
+    are offsets; see ``VisualOdometry.time_base``).
+    """
     leaves = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(jax.tree_util.tree_leaves(state))}
     leaves["__config__"] = np.frombuffer(
         json.dumps(dataclasses.asdict(cfg)).encode(), dtype=np.uint8
     )
+    leaves["__meta__"] = np.frombuffer(
+        json.dumps(meta or {}).encode(), dtype=np.uint8
+    )
     np.savez_compressed(path, **leaves)
 
 
-def load_state(path: str) -> tuple[VOState, VOConfig]:
-    """Restore (state, config) saved by :func:`save_state`."""
+def load_state(path: str, with_meta: bool = False):
+    """Restore ``(state, config)`` - or ``(state, config, meta)`` when
+    ``with_meta`` - saved by :func:`save_state`."""
     data = np.load(path)
     cfg = VOConfig.from_dict(json.loads(bytes(data["__config__"]).decode()))
 
@@ -42,4 +51,11 @@ def load_state(path: str) -> tuple[VOState, VOConfig]:
     leaves = [data[f"leaf_{i}"] for i in range(n)]
     state = jax.tree_util.tree_unflatten(treedef, leaves)
     # restore leaf dtypes exactly (npz keeps them; device_put on use)
+    if with_meta:
+        meta = (
+            json.loads(bytes(data["__meta__"]).decode())
+            if "__meta__" in data
+            else {}
+        )
+        return state, cfg, meta
     return state, cfg

@@ -18,8 +18,10 @@ Design differences forced (and enabled) by the TPU:
   comparisons for every bin be precomputed as one signed-difference matmul
   (see ``_brief_diff_table``) - per-element gathers are the slowest
   primitive on TPU and are avoided entirely on the descriptor path.  The
-  default of 90 bins (4 degrees) puts the binning error at the level of
-  the sampler's own integer-offset rounding (r_max * dtheta/2 ~ 0.45 px).
+  default of 120 bins (3 degrees, matching ``VOConfig.orb_angle_bins``)
+  puts the binning error (~0.34 px = r_max * dtheta/2) below the sampler's
+  own integer-offset rounding; measured 240-frame ATE saturates there
+  (90 bins 0.83 cm -> 120 bins 0.73 cm, see config.py).
 - Descriptors are emitted twice: packed ``uint32[8]`` (storage, 256 bits)
   and bipolar ``int8[256]`` (so Hamming matching can run on the MXU as an
   int8 matmul - see :mod:`rgbd_visualodometry_tpu.ops.matching`).
@@ -209,7 +211,8 @@ def _descriptors_from_image(blurred: jnp.ndarray, xy: jnp.ndarray, angles: jnp.n
 @partial(
     jax.jit,
     static_argnames=(
-        "nfeatures", "nlevels", "scale", "threshold", "border", "angle_bins"
+        "nfeatures", "nlevels", "scale", "threshold", "border", "angle_bins",
+        "use_bf16",
     ),
 )
 def extract(
@@ -219,7 +222,8 @@ def extract(
     scale: float = 1.2,
     threshold: float = 20.0,
     border: int = 31,
-    angle_bins: int = 90,
+    angle_bins: int = 120,
+    use_bf16: bool = True,
 ) -> ORBFeatures:
     """Full ORB extraction on a float32 grayscale image [H, W].
 
@@ -326,8 +330,15 @@ def extract(
     # within half a gray level - the same magnitude as the sampler's own
     # 0.5 px offset rounding - and the matmul is the biggest FLOP block of
     # the whole frontend ([N, 33^2] @ [33^2, Q*256]).
-    # CPU's dot thunk lacks bf16 x bf16 -> f32; only the TPU path narrows
-    bt = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
+    # CPU's dot thunk lacks bf16 x bf16 -> f32; only the TPU path narrows.
+    # ``use_bf16=False`` (config ``orb_bf16``) forces f32 on device too, so
+    # the CI-tested numeric path can be reproduced on TPU and the bf16
+    # delta bounded (see tests/test_orb.py::test_brief_bf16_parity_on_tpu).
+    bt = (
+        jnp.bfloat16
+        if (use_bf16 and jax.default_backend() != "cpu")
+        else jnp.float32
+    )
     blur_disc = jnp.take(blur_flat, diff_rows, axis=1).astype(bt)
     qbin = (
         jnp.floor(angle * (angle_bins / (2.0 * jnp.pi)) + 0.5).astype(jnp.int32)

@@ -86,6 +86,13 @@ class VisualOdometry:
             donate_argnums=0,
         )
         self.enable_backend = bool(cfg.enable_local_optimization)
+        # Absolute-time origin: device-side timestamps (FrameInput.timestamp,
+        # VOState.kf_timestamp) are float32, which cannot hold TUM epoch
+        # stamps (~1.39e9 s) to better than ~2 minutes.  The first staged
+        # frame's timestamp becomes the origin; the device only ever sees
+        # offsets (f32-exact for hours-long sequences), and host-side results
+        # / trajectories keep the absolute float64 value.
+        self.time_base: Optional[float] = None
         self.results: list[FrameResult] = []
         self._pending: collections.deque = collections.deque()
         self._frames_since_ba = 1 << 30
@@ -109,11 +116,17 @@ class VisualOdometry:
         Staging is separated from tracking so callers can overlap uploads
         with compute - the reference's timing hook likewise excludes image
         loading (``imread`` sits outside the per-frame timer,
-        ``app/run_vo.cpp:91-109``)."""
+        ``app/run_vo.cpp:91-109``).
+
+        The staged timestamp is the offset from the first staged frame (see
+        ``time_base`` in ``__init__``) so float32 device storage stays
+        precise for real TUM epoch stamps."""
+        if self.time_base is None:
+            self.time_base = float(timestamp)
         return frontend_mod.FrameInput(
             rgb=jnp.asarray(rgb, jnp.uint8),
             depth=jnp.asarray(depth, jnp.uint16),
-            timestamp=jnp.float32(timestamp),
+            timestamp=jnp.float32(float(timestamp) - self.time_base),
         )
 
     def process_async(self, rgb, depth=None, timestamp=None, rgb_ref=None):
@@ -126,8 +139,9 @@ class VisualOdometry:
             frame = rgb
             if timestamp is None:
                 # blocking scalar fetch (~one link round-trip on a tunneled
-                # TPU) - callers on the hot path should pass the host value
-                timestamp = float(frame.timestamp)
+                # TPU) - callers on the hot path should pass the host value.
+                # Staged inputs hold time offsets; add the origin back.
+                timestamp = float(frame.timestamp) + (self.time_base or 0.0)
         else:
             if rgb_ref is None and self._viewer is not None:
                 rgb_ref = rgb  # host copy for overlay

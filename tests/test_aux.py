@@ -126,3 +126,31 @@ def test_live_viewer_streams_overlays_and_map_renders(tmp_path):
     img = (mpimg.imread(overlays[2])[:, :, :3] * 255).astype("uint8")
     assert img.shape[:2] == (240, 320)
     assert (img != seq[2].rgb).any()
+
+
+def test_epoch_timestamps_stay_precise(tmp_path):
+    """TUM epoch stamps (~1.39e9 s) exceed float32 precision by ~2 minutes;
+    the device must only ever see offsets from the first staged frame
+    (VERDICT r2 weak #10).  Host results keep the absolute float64 value."""
+    cfg = small_cfg()
+    scene = synthetic.SyntheticScene(
+        width=320, height=240, fx=258.6, fy=258.2, cx=159.3, cy=127.6
+    )
+    base = 1390000000.0
+    seq = synthetic.generate_sequence(5, scene=scene)
+    vo = VisualOdometry(cfg)
+    for i, f in enumerate(seq):
+        res = vo.process(f.rgb, f.depth, base + i / 30.0)
+        # absolute host timestamp preserved to float64 precision
+        assert res.timestamp == base + i / 30.0
+    assert vo.time_base == base
+    # device-side keyframe stamps are exact small offsets, not rounded epochs
+    kf_ts = np.asarray(vo.state.kf_timestamp)[np.asarray(vo.state.kf_valid)]
+    assert kf_ts.max() < 1.0
+    expect = {round(i / 30.0, 6) for i in range(5)}
+    assert all(round(float(t), 6) in expect for t in kf_ts)
+    # checkpoint meta round-trips the absolute origin
+    path = str(tmp_path / "ckpt_ts.npz")
+    save_state(vo.state, cfg, path, meta={"time_base": vo.time_base})
+    _, _, meta = load_state(path, with_meta=True)
+    assert meta["time_base"] == base

@@ -69,9 +69,13 @@ def build_scene_state(cfg, n_kf=4, n_pts=120, noise_px=0.0, seed=0, with_depth=T
     for k in range(1, n_kf):
         uv = cam_mod.world2pixel(cam, pts_true, poses_true[k])
         uv = uv + rng.normal(0, noise_px, uv.shape) if noise_px else uv
-        uv_full = jnp.zeros((C, 2), jnp.float32).at[jnp.arange(n_pts)].set(uv)
+        uv_full = (
+            jnp.zeros((C, 2), jnp.float32)
+            .at[jnp.arange(n_pts)]
+            .set(jnp.asarray(uv, jnp.float32))
+        )
         mask = jnp.zeros(C, bool).at[jnp.arange(n_pts)].set(True)
-        zk = cam_mod.world2camera(pts_true, poses_true[k])[:, 2]
+        zk = jnp.asarray(cam_mod.world2camera(pts_true, poses_true[k])[:, 2], jnp.float32)
         depth_full = (
             jnp.zeros(C, jnp.float32).at[jnp.arange(n_pts)].set(zk) if with_depth else None
         )
@@ -147,7 +151,9 @@ def test_ba_prunes_bad_observations_and_marks_outliers():
     # corrupt ALL observations of point 0 beyond repair (inconsistent
     # directions so no 3D point can re-fit them) and a single observation
     # of point 1
-    bad = jnp.asarray([[80.0, -60.0], [-75.0, 90.0], [65.0, 70.0], [-80.0, -85.0]])
+    bad = jnp.asarray(
+        [[80.0, -60.0], [-75.0, 90.0], [65.0, 70.0], [-80.0, -85.0]], jnp.float32
+    )
     state = state._replace(
         obs_uv=state.obs_uv.at[0, :4, :].add(bad).at[1, 2, :].add(60.0)
     )

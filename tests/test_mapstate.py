@@ -31,7 +31,9 @@ def test_incidence_consistency_after_build():
 def test_incidence_consistency_after_ba_pruning():
     cfg = small_cfg()
     cam, state, poses_true, pts_true = build_scene_state(cfg)
-    bad = jnp.asarray([[80.0, -60.0], [-75.0, 90.0], [65.0, 70.0], [-80.0, -85.0]])
+    bad = jnp.asarray(
+        [[80.0, -60.0], [-75.0, 90.0], [65.0, 70.0], [-80.0, -85.0]], jnp.float32
+    )
     state = state._replace(obs_uv=state.obs_uv.at[0, :4, :].add(bad))
     state2, out = jax.jit(functools.partial(backend.ba_step, cfg, cam))(state, jnp.int32(3))
     assert int(out.num_pruned) >= 4
