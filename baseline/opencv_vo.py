@@ -954,18 +954,27 @@ BENCH_TRAJ = dict(step_t=(0.012, 0.002, 0.0), step_r=(0.0, 0.0, 0.003))
 
 
 def run(n_frames=240, width=640, height=480, enable_ba=True, threaded_ba=True,
-        seed=0, features=500, traj=BENCH_TRAJ, verbose=False):
+        seed=0, features=500, traj=BENCH_TRAJ, verbose=False, hard=False,
+        frames=None):
     """Run the cv2 twin on the shared synthetic sequence (identical scene +
-    trajectory parameters to bench.py's `_make_frames`); return results."""
+    trajectory parameters to bench.py's `_make_frames`); return results.
+
+    ``hard=True`` uses the fr1-like difficulty preset (non-planar boxes,
+    depth holes/noise, exposure flicker - ``synthetic.hard_scene``).
+    ``frames`` supplies a pre-generated sequence (so tests can run the twin
+    and the TPU pipeline on the SAME rendered frames without paying the
+    renderer twice)."""
     synthetic = _load_synthetic()
     cfg = dict(DEFAULT_CFG)
     cfg["number_of_features"] = features
-    scene = synthetic.SyntheticScene(
-        width=width, height=height,
-        fx=cfg["camera_fx"], fy=cfg["camera_fy"],
-        cx=cfg["camera_cx"], cy=cfg["camera_cy"], seed=seed,
-    )
-    frames = synthetic.generate_sequence(n_frames, scene=scene, **traj)
+    if frames is None:
+        scene_kw = dict(
+            width=width, height=height,
+            fx=cfg["camera_fx"], fy=cfg["camera_fy"],
+            cx=cfg["camera_cx"], cy=cfg["camera_cy"], seed=seed,
+        )
+        scene = synthetic.hard_scene(**scene_kw) if hard else synthetic.SyntheticScene(**scene_kw)
+        frames = synthetic.generate_sequence(n_frames, scene=scene, **traj)
 
     vo_map = Map()
     K = np.array(
@@ -1031,12 +1040,14 @@ def main():
     ap.add_argument("--no-ba", action="store_true")
     ap.add_argument("--sync-ba", action="store_true",
                     help="run BA synchronously instead of the reference's thread")
+    ap.add_argument("--hard", action="store_true",
+                    help="fr1-like difficulty scene (boxes, depth holes/noise, flicker)")
     ap.add_argument("--json-out", type=str, default=None)
     args = ap.parse_args()
     res = run(
         n_frames=args.frames, width=args.width, height=args.height,
         enable_ba=not args.no_ba, threaded_ba=not args.sync_ba,
-        features=args.features,
+        features=args.features, hard=args.hard,
     )
     print(json.dumps(res, indent=2))
     if args.json_out:

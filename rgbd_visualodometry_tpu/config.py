@@ -68,6 +68,12 @@ class VOConfig:
     #      `ransac_hypotheses` lanes in parallel. ----
     ransac_hypotheses: int = 128
     ransac_reproj_threshold: float = 4.0
+    # fraction of hypothesis lanes solved WITHOUT the depth channel (3-point
+    # Gauss-Newton from the seed pose - the reference's P3P likewise never
+    # reads depth, src/frontend.cpp:238-241); keeps tracking alive through
+    # Kinect-scale depth dropout where every depth lane would resample the
+    # same few depth-valid matches
+    ransac_depth_free_fraction: float = 0.25
     # fixed capacity for packed matched-correspondence slots fed to
     # RANSAC/LM (the reference's dynamically-sized pts3d/pts2d vectors,
     # src/frontend.cpp:219-230)
@@ -106,6 +112,19 @@ class VOConfig:
     # ATE: 90 bins 0.83 cm, 120 bins 0.73 cm (saturated - the sampler's own
     # 0.5 px offset rounding dominates beyond this), measured baseline 0.78.
     orb_angle_bins: int = 120
+    # bf16 operands (f32 accumulate) for the BRIEF diff-table matmul on
+    # device; False forces the f32 path everywhere so the CPU-tested
+    # numerics can be reproduced on TPU (parallel of ba_bf16)
+    orb_bf16: bool = True
+
+    # ---- descriptor matching layout ----
+    # True: match straight from the packed [C, 8] uint32 descriptor pool
+    # (ops/pallas_match kernel) and drop the persistent [C, 256] int8
+    # bipolar pool from VOState - 8x less map memory per stream.  Measured
+    # on v5e it is 0.2-0.3 ms/frame SLOWER than the dense-pool matmul
+    # (see ops/matching.nearest_keypoints_packed), so the default trades
+    # memory for time only when a deployment is HBM-capped.
+    packed_matching: bool = False
 
     # ---- tracking-map / covisibility (frame.cpp:114, frontend.cpp:163-166) --
     covisibility_weight_threshold: int = 15

@@ -2,14 +2,35 @@
 
 The reference has no test fixtures at all (SURVEY.md section 4); its only
 "integration test" is running on a downloaded TUM sequence.  This module
-renders a textured-plane world analytically - every pixel's color and depth
-and every camera pose are exact - giving hermetic golden-trajectory tests,
-benchmarks that need no dataset download, and the CLI demo mode.
+renders an analytic world - every pixel's color and depth and every camera
+pose are exact - giving hermetic golden-trajectory tests, benchmarks that
+need no dataset download, and the CLI demo mode.
 
-World model: a plane ``z = plane_z`` (world frame) textured with a random
-blocky pattern (sharp cell edges -> dense FAST corners at every cell
-junction).  Rendering intersects each pixel ray with the plane; depth is the
-camera-frame z of the hit, encoded TUM-style as ``uint16 = meters * 5000``.
+World model: a base plane ``z = plane_z`` (world frame) textured with a
+random blocky pattern (sharp cell edges -> dense FAST corners at every cell
+junction), optionally populated with ``n_boxes`` axis-aligned textured boxes
+floating in front of it (non-coplanar structure, occlusion, real parallax).
+Rendering intersects each pixel ray with every surface and keeps the nearest
+hit; depth is the camera-frame z, encoded TUM-style as
+``uint16 = meters * 5000``.
+
+Sensor degradations (all off by default; the ``hard_scene`` preset turns
+them on at Kinect-like rates) reproduce what the reference's robustness
+machinery exists for:
+
+- ``depth_dropout``: blobby per-frame holes in the depth map (TUM fr1 depth
+  has large missing regions; this is why ``Frame::GetDepth`` probes 4
+  neighbors, ``src/frame.cpp:54-67``),
+- ``edge_dropout``: depth killed along strong depth discontinuities (Kinect
+  edge shadowing - exactly where FAST corners concentrate),
+- ``depth_noise``: Gaussian axial noise with the Kinect's sigma ~ z^2 growth
+  (Khoshelham & Elberink 2012: sigma_z ~ 1.4e-3 * z^2 m) plus the uint16
+  encoding's own quantization,
+- ``exposure_jitter``: per-frame global gain/offset on the RGB (TUM fr1 has
+  auto-exposure flicker; stresses the fixed FAST threshold).
+
+Degradations are deterministic per (scene seed, timestamp) so sequences are
+reproducible and the cv2 baseline twin sees bit-identical frames.
 """
 
 from __future__ import annotations
@@ -64,7 +85,9 @@ def make_pose(rotvec, trans) -> np.ndarray:
 
 
 class SyntheticScene:
-    """Textured plane at ``z = plane_z`` with a deterministic texture."""
+    """Textured plane at ``z = plane_z``, optional boxes, optional sensor
+    degradations (see module docstring).  Defaults reproduce the easy
+    round-1/2 world exactly (no boxes, exact noise-free depth)."""
 
     def __init__(
         self,
@@ -79,19 +102,60 @@ class SyntheticScene:
         cell_size: float = 0.06,
         texture_cells: int = 1024,
         seed: int = 0,
+        n_boxes: int = 0,
+        # world-x/y span of the box field; defaults cover the region a
+        # default ``orbit_trajectory`` camera actually sweeps (it drifts
+        # toward -x with yaw, viewing x in ~[-4.5, 1.6] over 240 frames)
+        box_span_x: tuple = (-5.0, 2.0),
+        box_span_y: tuple = (-1.6, 1.6),
+        depth_dropout: float = 0.0,  # fraction of pixels lost to blobby holes
+        edge_dropout: bool = False,  # kill depth on strong discontinuities
+        depth_noise: float = 0.0,  # sigma_z = depth_noise * z^2 (m); Kinect ~1.4e-3
+        exposure_jitter: float = 0.0,  # per-frame gain in [1 +- j], offset ~ 25*j
     ):
         self.w, self.h = width, height
         self.fx, self.fy, self.cx, self.cy = fx, fy, cx, cy
         self.depth_scale = depth_scale
         self.plane_z = plane_z
         self.cell = cell_size
+        self.seed = seed
+        self.depth_dropout = float(depth_dropout)
+        self.edge_dropout = bool(edge_dropout)
+        self.depth_noise = float(depth_noise)
+        self.exposure_jitter = float(exposure_jitter)
         rng = np.random.default_rng(seed)
         # RGB blocky texture with strong luma contrast
         self.tex = rng.integers(20, 236, (texture_cells, texture_cells, 3)).astype(np.uint8)
+        # axis-aligned boxes in front of the plane, spread over the volume a
+        # default orbit_trajectory sweeps (camera drifts +x over time)
+        self.boxes = np.zeros((0, 6), float)  # rows: x0 x1 y0 y1 z0 z1
+        if n_boxes:
+            bc = np.stack(
+                [
+                    rng.uniform(*box_span_x, n_boxes),  # x centers
+                    rng.uniform(*box_span_y, n_boxes),  # y centers
+                    rng.uniform(plane_z - 1.4, plane_z - 0.35, n_boxes),  # z centers
+                ],
+                axis=1,
+            )
+            bs = rng.uniform(0.12, 0.45, (n_boxes, 3))  # half-sizes
+            self.boxes = np.stack(
+                [
+                    bc[:, 0] - bs[:, 0], bc[:, 0] + bs[:, 0],
+                    bc[:, 1] - bs[:, 1], bc[:, 1] + bs[:, 1],
+                    bc[:, 2] - bs[:, 2], bc[:, 2] + bs[:, 2],
+                ],
+                axis=1,
+            )
         u, v = np.meshgrid(np.arange(width), np.arange(height))
         self._dirs = np.stack(
             [(u - cx) / fx, (v - cy) / fy, np.ones_like(u, float)], axis=-1
         )  # camera-frame ray dirs, z=1
+
+    def _frame_rng(self, timestamp: float) -> np.random.Generator:
+        """Deterministic per-frame RNG: same (seed, timestamp) -> same frame."""
+        key = int(np.float64(timestamp).view(np.int64)) & 0x7FFFFFFF
+        return np.random.default_rng((self.seed, key))
 
     def render(self, T_c_w: np.ndarray, timestamp: float = 0.0) -> SyntheticFrame:
         """Render RGB + depth from pose T_c_w (world->camera)."""
@@ -100,16 +164,80 @@ class SyntheticScene:
         d_w = _quat_rotate(q_wc, self._dirs.reshape(-1, 3)).reshape(self.h, self.w, 3)
         dz = d_w[..., 2]
         dz = np.where(np.abs(dz) < 1e-9, 1e-9, dz)
-        t = (self.plane_z - center[2]) / dz  # camera-frame depth (dirs have z=1)
-        hit = t > 0.05
+        t_plane = (self.plane_z - center[2]) / dz  # camera depth (dirs have z=1)
+        t_hit = np.where(t_plane > 0.05, t_plane, np.inf)
+        # nearest box hit via the slab method, vectorized over pixels per box
+        d_safe = np.where(np.abs(d_w) < 1e-12, 1e-12, d_w)
+        for x0, x1, y0, y1, z0, z1 in self.boxes:
+            lo = np.array([x0, y0, z0])
+            hi = np.array([x1, y1, z1])
+            ta = (lo[None, None, :] - center[None, None, :]) / d_safe
+            tb = (hi[None, None, :] - center[None, None, :]) / d_safe
+            t_near = np.minimum(ta, tb).max(axis=-1)
+            t_far = np.maximum(ta, tb).min(axis=-1)
+            ok = (t_near <= t_far) & (t_near > 0.05)
+            t_hit = np.minimum(t_hit, np.where(ok, t_near, np.inf))
+        hit = np.isfinite(t_hit)
+        t = np.where(hit, t_hit, 0.0)
         p_w = center[None, None, :] + t[..., None] * d_w
-        ui = np.floor(p_w[..., 0] / self.cell).astype(np.int64) % self.tex.shape[0]
-        vi = np.floor(p_w[..., 1] / self.cell).astype(np.int64) % self.tex.shape[1]
+        # world-stable texture coordinates that vary on every box face (pure
+        # x/y indexing would leave z-normal faces constant-colored): shear
+        # the lookup by z so all three face orientations get the pattern
+        tu = p_w[..., 0] + 0.731 * p_w[..., 2]
+        tv = p_w[..., 1] + 0.413 * p_w[..., 2]
+        ui = np.floor(tu / self.cell).astype(np.int64) % self.tex.shape[0]
+        vi = np.floor(tv / self.cell).astype(np.int64) % self.tex.shape[1]
         rgb = self.tex[vi, ui]
-        rgb = np.where(hit[..., None], rgb, 0).astype(np.uint8)
-        depth_raw = np.where(hit, t * self.depth_scale, 0.0)
-        depth = np.clip(depth_raw, 0, 65535).astype(np.uint16)
+        rgb = np.where(hit[..., None], rgb, 0)
+
+        rng = self._frame_rng(timestamp)
+        if self.exposure_jitter:
+            gain = 1.0 + self.exposure_jitter * rng.uniform(-1.0, 1.0)
+            offset = 25.0 * self.exposure_jitter * rng.uniform(-1.0, 1.0)
+            rgb = rgb.astype(np.float64) * gain + offset
+        rgb = np.clip(rgb, 0, 255).astype(np.uint8)
+
+        t_meas = t
+        if self.depth_noise:
+            t_meas = t + rng.normal(0.0, 1.0, t.shape) * self.depth_noise * t * t
+        keep = hit
+        if self.edge_dropout:
+            # Kinect-style shadowing: depth invalid along discontinuities
+            jump = np.zeros_like(t)
+            for ax in (0, 1):
+                d = np.abs(np.diff(t, axis=ax))
+                pad = [(0, 0), (0, 0)]
+                pad[ax] = (0, 1)
+                jump = np.maximum(jump, np.pad(d, pad))
+                pad[ax] = (1, 0)
+                jump = np.maximum(jump, np.pad(d, pad))
+            keep = keep & (jump < 0.04)
+        if self.depth_dropout:
+            # blobby holes: threshold smooth low-res noise at the requested
+            # dropout quantile (large contiguous missing regions, like fr1)
+            bh, bw = max(self.h // 16, 2), max(self.w // 16, 2)
+            blob = rng.uniform(0.0, 1.0, (bh, bw))
+            blob = np.kron(blob, np.ones((self.h // bh + 1, self.w // bw + 1)))
+            blob = blob[: self.h, : self.w]
+            keep = keep & (blob > np.quantile(blob, self.depth_dropout))
+        depth_raw = np.where(keep, t_meas * self.depth_scale, 0.0)
+        depth = np.clip(np.round(depth_raw), 0, 65535).astype(np.uint16)
         return SyntheticFrame(rgb=rgb, depth=depth, timestamp=float(timestamp), T_c_w=np.asarray(T_c_w, float))
+
+
+def hard_scene(width: int = 640, height: int = 480, **kw) -> SyntheticScene:
+    """fr1-like difficulty preset (VERDICT r2 task 2): non-planar boxes,
+    10% blobby depth holes + edge shadowing, Kinect z^2 axial noise, mild
+    auto-exposure flicker.  Keyword overrides pass through to the scene."""
+    params = dict(
+        n_boxes=48,
+        depth_dropout=0.10,
+        edge_dropout=True,
+        depth_noise=1.4e-3,
+        exposure_jitter=0.06,
+    )
+    params.update(kw)
+    return SyntheticScene(width=width, height=height, **params)
 
 
 def orbit_trajectory(n_frames: int, step_t=(0.02, 0.004, 0.0), step_r=(0.0, 0.0, 0.004)):

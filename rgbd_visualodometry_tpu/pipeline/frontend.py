@@ -191,6 +191,7 @@ def _match_and_estimate(cfg: VOConfig, camera, state: VOState, nn, feats, kp_cam
     rr = pnp.ransac_pnp(
         key, p_w, uv, p_cam, d_ok, mval, pose, camera,
         cfg.ransac_hypotheses, cfg.ransac_reproj_threshold,
+        depth_free_fraction=cfg.ransac_depth_free_fraction,
     )
     ref = lm.refine_pose(
         rr.pose, p_w, uv, rr.inliers & mval, camera,
@@ -260,6 +261,7 @@ def track_compute(cfg: VOConfig, camera, state: VOState, frame: FrameInput) -> T
         threshold=float(cfg.fast_threshold),
         border=cfg.edge_threshold,
         angle_bins=cfg.orb_angle_bins,
+        use_bf16=cfg.orb_bf16,
     )
     dep = depth_mod.lookup_depth(frame.depth, feats.xy, camera.depth_scale)
     kp_cam = cam_mod.pixel2camera(camera, feats.xy, dep.depth)
@@ -273,7 +275,12 @@ def track_compute(cfg: VOConfig, camera, state: VOState, frame: FrameInput) -> T
     # ---- coarse + fine pose estimation (masked no-op while INITIALIZING:
     # the empty candidate set makes LM a fixed point of the seed pose) ------
     tmap = mapstate.tracking_map_mask(state, cfg)
-    nn = matching.nearest_keypoints(state.mp_bip, feats.desc_bipolar, feats.valid)
+    if cfg.packed_matching:
+        nn = matching.nearest_keypoints_packed(
+            state.mp_desc, feats.desc_bipolar, feats.valid
+        )
+    else:
+        nn = matching.nearest_keypoints(state.mp_bip, feats.desc_bipolar, feats.valid)
     pose_c, _ = _match_and_estimate(cfg, camera, state, nn, feats, kp_cam, dep, tmap, state.prev_pose, k1, is_lost)
     pose_f, info = _match_and_estimate(cfg, camera, state, nn, feats, kp_cam, dep, tmap, pose_c, k2, is_lost)
 

@@ -118,3 +118,37 @@ def test_ransac_then_lm_end_to_end():
     )
     fine = lm.refine_pose(coarse.pose, p_w, uv, coarse.inliers, cam)
     assert pose_error(fine.pose, T_true) < 2e-3
+
+
+def test_depth_free_lanes_recover_pose_without_depth():
+    """VERDICT r2 task 4: with ZERO depth-valid matches and a perturbed
+    seed, the depth-free 3-point GN lanes must still recover the true pose
+    (the reference's P3P never needs depth, src/frontend.cpp:238-241).
+    With depth_free_fraction=0 only the (bad) seed lane exists and RANSAC
+    cannot do better than it."""
+    rng = np.random.default_rng(5)
+    cam, T_true, p_w, uv, p_cam, out_idx = make_scene(rng, outlier_frac=0.2)
+    n = p_w.shape[0]
+    # seed pose well away from the truth (a motion spike / stale pose)
+    bad_seed = se3.normalize(
+        se3.compose(se3.exp(jnp.asarray([0.15, -0.1, 0.1, 0.04, -0.03, 0.05])), T_true)
+    )
+    no_depth = jnp.zeros(n, bool)
+    # missing depth back-projects to zeros in the pipeline (depth.lookup_depth)
+    p_cam = jnp.zeros_like(p_cam)
+
+    res_free = pnp.ransac_pnp(
+        jax.random.PRNGKey(2), p_w, uv, p_cam, no_depth, jnp.ones(n, bool),
+        bad_seed, cam, n_hypotheses=128, threshold=4.0, depth_free_fraction=0.5,
+    )
+    assert pose_error(res_free.pose, T_true) < 0.02, (
+        f"depth-free lanes failed: err {pose_error(res_free.pose, T_true):.4f}"
+    )
+    assert int(res_free.num_inliers) > 0.6 * n
+
+    res_none = pnp.ransac_pnp(
+        jax.random.PRNGKey(2), p_w, uv, p_cam, no_depth, jnp.ones(n, bool),
+        bad_seed, cam, n_hypotheses=128, threshold=4.0, depth_free_fraction=0.0,
+    )
+    # without depth-free lanes the bad seed is unrecoverable
+    assert int(res_none.num_inliers) < int(res_free.num_inliers)
