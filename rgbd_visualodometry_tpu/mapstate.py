@@ -45,13 +45,16 @@ class VOState(NamedTuple):
     # --- keyframes -------------------------------------------------------
     kf_pose: jnp.ndarray  # [K, 7] T_c_w
     kf_valid: jnp.ndarray  # [K] bool
-    kf_timestamp: jnp.ndarray  # [K] float64-as-f32 pair? stored f32
+    kf_timestamp: jnp.ndarray  # [K] f32 seconds since the first staged frame
+    # (hosts keep the absolute float64 origin - see VisualOdometry.time_base;
+    # raw TUM epoch stamps would lose ~2 min of precision in f32)
     num_kf: jnp.ndarray  # scalar int32: next keyframe slot (monotonic)
 
     # --- mappoints -------------------------------------------------------
     mp_pos: jnp.ndarray  # [C, 3]
     mp_desc: jnp.ndarray  # [C, 8] uint32 packed 256-bit descriptor
-    mp_bip: jnp.ndarray  # [C, 256] int8 bipolar descriptor (for matching)
+    mp_bip: jnp.ndarray  # [C, 256] int8 bipolar descriptor (for matching);
+    # [C, 0] under cfg.packed_matching (matching reads mp_desc instead)
     mp_norm: jnp.ndarray  # [C, 3] mean viewing direction (mappoint.h:59-64)
     mp_valid: jnp.ndarray  # [C] bool: slot allocated
     mp_outlier: jnp.ndarray  # [C] bool (mappoint.h:32)
@@ -100,7 +103,9 @@ def init_state(cfg: VOConfig, seed: int = 0) -> VOState:
         num_kf=jnp.int32(0),
         mp_pos=jnp.zeros((C, 3), f32),
         mp_desc=jnp.zeros((C, 8), jnp.uint32),
-        mp_bip=jnp.zeros((C, 256), jnp.int8),
+        # packed_matching reclaims the pool's largest leaf (16 MB/stream at
+        # C=65536): matching then runs off mp_desc via the pallas kernel
+        mp_bip=jnp.zeros((C, 0 if cfg.packed_matching else 256), jnp.int8),
         mp_norm=jnp.zeros((C, 3), f32),
         mp_valid=jnp.zeros(C, bool),
         mp_outlier=jnp.zeros(C, bool),
@@ -379,7 +384,9 @@ def create_mappoints(
     state = state._replace(
         mp_pos=put(state.mp_pos, positions),
         mp_desc=put(state.mp_desc, desc),
-        mp_bip=put(state.mp_bip, bip),
+        # zero-width under packed_matching: slice the incoming rows to the
+        # pool's (possibly empty) bit width
+        mp_bip=put(state.mp_bip, bip[:, : state.mp_bip.shape[1]]),
         mp_norm=put(state.mp_norm, d),
         mp_valid=state.mp_valid | hit,
         mp_outlier=state.mp_outlier & ~hit,

@@ -26,6 +26,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 WORDS = 8  # 256 bits = 8 x uint32
 BITS = 256
@@ -50,12 +51,38 @@ def _hamming_packed_xla(cand_desc: jnp.ndarray, kp_bip: jnp.ndarray) -> jnp.ndar
     return (BITS - dot) // 2
 
 
+# pltpu.repeat is TILE-style (measured on v5e: [0..7] x4 -> [0..7,0..7,...],
+# NOT numpy's element-repeat), so the in-kernel unpack emits bits in the
+# permuted order  col c -> word (c % 8), bit (c // 8).  Hamming distance is
+# invariant under any fixed bit permutation applied to BOTH operands, so the
+# (small, replicated) keypoint matrix is permuted once outside the kernel
+# instead of fighting the layout inside it.
+_TILE_PERM = np.arange(BITS)
+_TILE_PERM = 32 * (_TILE_PERM % WORDS) + _TILE_PERM // WORDS  # col -> source bit
+
+
 def _kernel(cand_ref, kp_ref, out_ref):
-    """One candidate tile: unpack packed words -> bipolar int8 -> MXU dot."""
+    """One candidate tile: unpack packed words -> bipolar int8 -> MXU dot.
+
+    The unpack stays strictly 2-D; two Mosaic lowering limits shape it
+    (both measured on v5e / jax 0.9 - their absence is why round 2 shipped
+    this kernel un-integrated):
+
+    - a rank-3 unpack with a merging reshape ([TC, 8, 32] -> [TC, 256])
+      does not lower ("tpu.reshape ... unsupported"), hence pltpu.repeat;
+    - int8 vector shifts (arith.shli on vector<...xi8>) do not legalize,
+      hence the mul/sub bipolar mapping.
+
+    ``kp_ref`` must already be column-permuted by ``_TILE_PERM`` (see
+    module comment).
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
     desc = cand_ref[:]  # [TC, 8] uint32
-    shifts = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, 32), 2)
-    bits = (desc[:, :, None] >> shifts) & jnp.uint32(1)  # [TC, 8, 32]
-    a = (bits.reshape(desc.shape[0], BITS).astype(jnp.int8) << 1) - 1
+    words = pltpu.repeat(desc, repeats=32, axis=1)  # [TC, 256] tile order
+    shifts = jax.lax.broadcasted_iota(jnp.uint32, (1, BITS), 1) // jnp.uint32(WORDS)
+    bits = (words >> shifts) & jnp.uint32(1)
+    a = (bits.astype(jnp.int32) * 2 - 1).astype(jnp.int8)
     dot = jax.lax.dot_general(
         a, kp_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
@@ -71,6 +98,9 @@ def _hamming_packed_pallas(cand_desc, kp_bip, tile: int = 1024):
     C = cand_desc.shape[0]
     N = kp_bip.shape[0]
     assert C % tile == 0, (C, tile)
+    # match the kernel's tile-order unpack (see _TILE_PERM); fused into the
+    # surrounding program, negligible next to the [C, N] matmul
+    kp_perm = jnp.take(kp_bip, jnp.asarray(_TILE_PERM), axis=1)
     return pl.pallas_call(
         _kernel,
         out_shape=jax.ShapeDtypeStruct((C, N), jnp.int32),
@@ -80,7 +110,7 @@ def _hamming_packed_pallas(cand_desc, kp_bip, tile: int = 1024):
             pl.BlockSpec((N, BITS), lambda i: (0, 0)),  # replicated
         ],
         out_specs=pl.BlockSpec((tile, N), lambda i: (i, 0)),
-    )(cand_desc, kp_bip)
+    )(cand_desc, kp_perm)
 
 
 def hamming_matrix_packed(

@@ -8,8 +8,16 @@ throughput scaling across TPU chips with XLA collectives over ICI.
 
 from rgbd_visualodometry_tpu.parallel.mesh import (
     make_mesh,
+    map_partition_specs,
     MultiStreamVO,
+    ShardedMapVO,
     sharded_match_descriptors,
 )
 
-__all__ = ["make_mesh", "MultiStreamVO", "sharded_match_descriptors"]
+__all__ = [
+    "make_mesh",
+    "map_partition_specs",
+    "MultiStreamVO",
+    "ShardedMapVO",
+    "sharded_match_descriptors",
+]

@@ -179,3 +179,40 @@ def test_multistream_staged_batches():
 
     for a, b in zip(outs_a, outs_b):
         np.testing.assert_array_equal(np.asarray(a.packed), np.asarray(b.packed))
+
+
+def test_sharded_map_vo_matches_single_device(mesh):
+    """ShardedMapVO (tensor-parallel map INSIDE the tracking step, VERDICT
+    r2 task 6): tracking over an 8-way sharded mappoint pool must agree
+    with the unsharded single-device pipeline - XLA may reorder reductions,
+    so poses are compared to tolerance, discrete decisions exactly."""
+    from rgbd_visualodometry_tpu.parallel import ShardedMapVO
+    from rgbd_visualodometry_tpu.pipeline.system import VisualOdometry
+
+    cfg = tiny_cfg()
+    map_mesh = make_mesh(8, axis="map")
+    scene = synthetic.SyntheticScene(
+        width=128, height=96, fx=100, fy=100, cx=64, cy=48, cell_size=0.12
+    )
+    seq = synthetic.generate_sequence(5, scene=scene, step_t=(0.04, 0.01, 0.0))
+
+    vo_ref = VisualOdometry(cfg)
+    vo_tp = ShardedMapVO(cfg, map_mesh)
+    for f in seq:
+        r_ref = vo_ref.process(f.rgb, f.depth, f.timestamp)
+        r_tp = vo_tp.process(f.rgb, f.depth, f.timestamp)
+        assert r_tp.tracked == r_ref.tracked
+        assert r_tp.is_keyframe == r_ref.is_keyframe
+        np.testing.assert_allclose(
+            r_tp.pose_w_c, r_ref.pose_w_c, atol=5e-4,
+        )
+    # the big pool leaves really are sharded over the map axis
+    assert "map" in str(vo_tp.state.mp_bip.sharding.spec)
+    assert "map" in str(vo_tp.state.obs_uv.sharding.spec)
+
+
+def test_sharded_map_vo_capacity_must_divide(mesh):
+    from rgbd_visualodometry_tpu.parallel import ShardedMapVO
+
+    with pytest.raises(ValueError):
+        ShardedMapVO(tiny_cfg().replace(max_mappoints=500), make_mesh(8, axis="map"))
