@@ -133,7 +133,11 @@ class VisualOdometry:
         """Enqueue one frame; no host synchronization (the hot path).
 
         Accepts either ``(rgb, depth, timestamp)`` numpy arrays or a
-        pre-staged :class:`FrameInput` (from :meth:`put_frame`)."""
+        pre-staged :class:`FrameInput` (from :meth:`put_frame`).  With the
+        viewer enabled, staged callers may pass ``rgb_ref`` (the host-side
+        image) for the overlay; otherwise the overlay reads the staged
+        device copy back when the lagged drain materializes the frame -
+        correct, but a D2H image transfer off the hot path."""
         t0 = time.perf_counter()
         if isinstance(rgb, frontend_mod.FrameInput):
             frame = rgb
@@ -142,6 +146,8 @@ class VisualOdometry:
                 # TPU) - callers on the hot path should pass the host value.
                 # Staged inputs hold time offsets; add the origin back.
                 timestamp = float(frame.timestamp) + (self.time_base or 0.0)
+            if rgb_ref is None and self._viewer is not None:
+                rgb_ref = frame.rgb  # device copy; fetched at materialize
         else:
             if rgb_ref is None and self._viewer is not None:
                 rgb_ref = rgb  # host copy for overlay
@@ -297,6 +303,13 @@ class VisualOdometry:
                 writer.close()
             if stats_f:
                 stats_f.close()
+            if self._viewer is not None:
+                # final INTERACTIVE 3D map (orbit/zoom in a browser) - the
+                # headless stand-in for the reference's live Pangolin window
+                traj = np.asarray(
+                    [r.pose_w_c[4:7] for r in self.results if r.tracked]
+                )
+                self._viewer.export_html(self.map_snapshot(), trajectory=traj)
         return self.results
 
     def map_snapshot(self) -> dict[str, np.ndarray]:

@@ -126,6 +126,36 @@ def test_live_viewer_streams_overlays_and_map_renders(tmp_path):
     img = (mpimg.imread(overlays[2])[:, :, :3] * 255).astype("uint8")
     assert img.shape[:2] == (240, 320)
     assert (img != seq[2].rgb).any()
+    # the run leaves an interactive 3D viewer behind (headless counterpart
+    # of the live Pangolin window, viewer.cpp:16-54)
+    html = (tmp_path / "viz" / "map.html").read_text()
+    assert "<canvas" in html and "new Float32Array" in html
+    assert "%(" not in html  # every template placeholder substituted
+
+
+def test_export_html_embeds_map_data(tmp_path):
+    """export_html writes a self-contained browser viewer embedding the
+    point cloud, keyframe frusta and trajectory (no external resources)."""
+    import numpy as np
+
+    from rgbd_visualodometry_tpu.viz import MapViewer
+
+    rng = np.random.default_rng(0)
+    snap = dict(
+        mappoints=rng.uniform(-1, 1, (500, 3)).astype("float32"),
+        keyframe_poses=np.asarray(
+            [[1, 0, 0, 0, 0.5, 0.25, 0.125]], dtype="float32"
+        ),
+        num_keyframes=1,
+    )
+    viewer = MapViewer(str(tmp_path))
+    path = viewer.export_html(snap, trajectory=np.zeros((7, 3), "float32"))
+    html = open(path).read()
+    assert "map: 500 points, 1 keyframes" in html
+    assert html.count("new Float32Array") == 3
+    assert "http" not in html.split("<script>")[1]  # no external fetches
+    # frustum record = camera center (-R^T t = -t for identity) + fwd axis
+    assert "-0.5" in html and "-0.25" in html
 
 
 def test_epoch_timestamps_stay_precise(tmp_path):
