@@ -87,13 +87,22 @@ class VOConfig:
     # ---- local BA backend (src/backend.cpp:19-195) ----
     ba_iterations: int = 10  # per round; two rounds with pruning in between
     # Depth-prior edges: each observation with a measured sensor depth adds a
-    # residual (depth_measured - z_camera), weighted as pixel-equivalent
-    # (fx/z)^2 * ba_depth_weight.  This anchors the metric scale that pure
-    # reprojection BA leaves as a gauge freedom (the reference's g2o backend
-    # never uses the depth channel and silently has this freedom too).
-    # Set False for strict reference-parity behavior.
+    # residual (depth_measured - z_camera) with information weight
+    # ba_depth_weight / sigma(z)^2 where sigma(z) = ba_depth_sigma_scale*z^2
+    # (the Kinect axial-noise law, Khoshelham & Elberink 2012).  This anchors
+    # the metric scale that pure reprojection BA leaves as a gauge freedom
+    # (the reference's g2o backend never uses the depth channel and silently
+    # has this freedom too) while releasing its grip exactly where sensor
+    # depth is least trustworthy.  Set False for strict reference parity.
+    # Weight 0.2 measured best-balanced across scenes on TPU (240-frame
+    # 640x480, twin baseline in parentheses): easy 0.73 cm (0.805), hard
+    # fr1-like 0.69 cm (0.76).  w0.1 flips the balance (easy 0.58, hard
+    # 0.81); magnitudes beyond ~2x in either direction destabilize the
+    # hard scene (see the robustification note in pipeline/backend.py).
     ba_use_depth_prior: bool = True
-    ba_depth_weight: float = 0.5
+    ba_depth_weight: float = 0.2
+    ba_depth_sigma_scale: float = 1.4e-3
+    ba_depth_sigma_floor: float = 4.0e-3
     # "Latest keyframe wins" coalescing: the reference's backend thread
     # drops keyframes that arrive while it is busy (condvar without a queue,
     # backend.cpp:8-17).  0 = optimize every keyframe; N > 0 = skip BA if
@@ -112,6 +121,11 @@ class VOConfig:
     # ATE: 90 bins 0.83 cm, 120 bins 0.73 cm (saturated - the sampler's own
     # 0.5 px offset rounding dominates beyond this), measured baseline 0.78.
     orb_angle_bins: int = 120
+    # rotation-bin chunk of the BRIEF diff-table matmul: each chunk
+    # materializes an [N, chunk, 256] comparison slab.  Small keeps peak
+    # HBM bounded for many-stream batching; single-stream can afford
+    # bigger chunks (fewer, larger matmuls)
+    orb_brief_chunk: int = 6
     # bf16 operands (f32 accumulate) for the BRIEF diff-table matmul on
     # device; False forces the f32 path everywhere so the CPU-tested
     # numerics can be reproduced on TPU (parallel of ba_bf16)

@@ -212,7 +212,7 @@ def _descriptors_from_image(blurred: jnp.ndarray, xy: jnp.ndarray, angles: jnp.n
     jax.jit,
     static_argnames=(
         "nfeatures", "nlevels", "scale", "threshold", "border", "angle_bins",
-        "use_bf16",
+        "use_bf16", "brief_chunk",
     ),
 )
 def extract(
@@ -224,6 +224,7 @@ def extract(
     border: int = 31,
     angle_bins: int = 120,
     use_bf16: bool = True,
+    brief_chunk: int = 6,
 ) -> ORBFeatures:
     """Full ORB extraction on a float32 grayscale image [H, W].
 
@@ -346,8 +347,10 @@ def extract(
     )
     # chunk the per-bin matmul + bin select so the [N, Q, 256] comparison
     # tensor is never materialized whole (at 64 batched streams it would be
-    # ~3 GB of HBM); each chunk's slab dies after its masked reduction
-    chunk = 6
+    # ~3 GB of HBM); each chunk's slab dies after its masked reduction.
+    # Single-stream runs have HBM headroom - larger chunks mean fewer,
+    # bigger matmuls (config orb_brief_chunk).
+    chunk = brief_chunk
     bits_acc = jnp.zeros((n_all, N_BITS), jnp.float32)
     for q0 in range(0, angle_bins, chunk):
         qn = min(chunk, angle_bins - q0)

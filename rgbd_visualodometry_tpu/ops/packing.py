@@ -43,6 +43,43 @@ def compact_indices(mask: jnp.ndarray, k: int):
     return jnp.where(valid, idx, 0), valid
 
 
+def compact_best_indices(mask: jnp.ndarray, score: jnp.ndarray, k: int, n_bins: int = 258):
+    """Pack up to ``k`` True indices, preferring LOW integer ``score``.
+
+    Like :func:`compact_indices`, but when more than ``k`` entries are set
+    the survivors are the best-scoring ones (e.g. smallest Hamming
+    distances), not the lowest slot indices.  Slot order would
+    systematically keep the OLDEST mappoints: pool slots are allocated in
+    creation order, so once a frame matches more points than ``k`` the
+    freshest landmarks - the ones actually visible in the current frustum -
+    are exactly the ones dropped, and tracking quality decays as the map
+    grows (measured on the 240-frame fr1-like scene as late-sequence drift:
+    frames past ~170 match 2000+ mappoints against a 1024 cap).
+
+    ``score`` must be small non-negative integers (< ``n_bins - 1``;
+    Hamming distances are in [0, 256]).  The threshold bin's ties are
+    broken by slot index.  Scatter-free and sort-free: a [n_bins, M]
+    histogram + prefix sum finds the k-th smallest score, then
+    :func:`compact_indices` packs the refined mask.
+    """
+    s = jnp.where(mask, jnp.clip(score, 0, n_bins - 1), n_bins - 1)
+    counts = jnp.sum(
+        (s[None, :] == jnp.arange(n_bins, dtype=s.dtype)[:, None]) & mask[None, :],
+        axis=1,
+        dtype=jnp.int32,
+    )
+    ccum = jnp.cumsum(counts)
+    # smallest score bin whose cumulative count reaches k; every entry
+    # scoring strictly below t survives, and the threshold bin fills the
+    # remaining quota in slot order
+    t = jnp.searchsorted(ccum, k, side="left").astype(s.dtype)
+    below = mask & (s < t)
+    quota_t = k - jnp.sum(below, dtype=jnp.int32)
+    at_t = mask & (s == t)
+    keep_t = at_t & (jnp.cumsum(at_t.astype(jnp.int32)) <= quota_t)
+    return compact_indices(below | keep_t, k)
+
+
 def scatter_back(mask_size: int, indices: jnp.ndarray, values: jnp.ndarray):
     """Expand packed boolean ``values [k]`` back to a full-size mask.
 

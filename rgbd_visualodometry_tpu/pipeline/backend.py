@@ -26,9 +26,10 @@ Here the whole solve is one jitted program over fixed-capacity arrays:
   mappoints become outliers (``backend.cpp:139-172`` ->
   ``Frame::RemoveObservedMappoint`` -> ``Mappoint::RemoveObservedByKeyframe``).
 - **Depth priors**: observations with measured sensor depth add a
-  ``(d_meas - z_cam)`` residual with pixel-equivalent weighting, anchoring
-  the metric scale that pure reprojection BA leaves free (an improvement
-  over the reference; disable with ``ba_use_depth_prior=False``).
+  ``(d_meas - z_cam)`` residual weighted by the inverse Kinect axial-noise
+  variance (sigma = k z^2 with a near-range floor) and Huber-robustified,
+  anchoring the metric scale that pure reprojection BA leaves free (an
+  improvement over the reference; disable with ``ba_use_depth_prior=False``).
 - **Write-back**: window keyframe poses and non-outlier point positions
   (``backend.cpp:182-194``); touched points get ``optimized_ = true``.
 
@@ -108,7 +109,15 @@ def build_problem(cfg: VOConfig, state: VOState, kf: jnp.ndarray) -> _BAProblem:
         > 0
     )
     pmask = observed & state.mp_alive
-    pidx, pval = packing.compact_indices(pmask, MB)
+    # over-capacity windows keep the BEST-constrained points: ones the
+    # current keyframe observes first (they tie the new pose into the old
+    # map), then by observation count.  Slot order would keep the oldest
+    # points and starve fresh geometry exactly when the map is largest
+    # (the reference's g2o window has no cap, backend.cpp:62-81).
+    n_obs = jnp.sum(state.obs_valid, axis=1, dtype=jnp.int32)
+    obs_by_cur = A[kf].astype(jnp.int32)
+    score = (1 - obs_by_cur) * (M + 1) + (M - jnp.minimum(n_obs, M))
+    pidx, pval = packing.compact_best_indices(pmask, score, MB)
 
     # observations in their native per-point slots
     o_kf = jnp.take(state.obs_kf, pidx, axis=0)  # [MB, M]
@@ -171,20 +180,48 @@ def _lm_phase(cfg, camera, prob, poses0, pts0, obs_mask, iterations, huber_delta
     maskf = obs_mask.astype(jnp.float32)  # [MB, M]
 
     if cfg.ba_use_depth_prior:
+        # Information weight from the Kinect axial-noise model sigma_z =
+        # k z^2 (Khoshelham & Elberink 2012, k ~ 1.4e-3 / m): w = t / sigma^2.
+        # The round-2 pixel-equivalent form t * (fx/z)^2 modeled a CONSTANT
+        # depth sigma and scaled with image resolution - on fr1-like noisy
+        # depth it over-trusted far-range measurements by z^2 and pulled
+        # 4x harder at 640x480 than at 320x240 (measured: hard-scene ATE
+        # 1.03 cm vs the twin's 0.76 at 640; the sigma model + noise floor
+        # + robust depth loss below brought it to 0.69).
+        z = jnp.maximum(prob.o_depth, 0.25)
+        # noise floor: without it near-range weights grow as 1/z^4 and the
+        # depth terms drown the reprojection terms entirely (measured: hard
+        # scene ATE 18 cm with floorless weights vs ~1 cm with the floor)
+        sigma = jnp.maximum(
+            cfg.ba_depth_sigma_scale * z * z, cfg.ba_depth_sigma_floor
+        )
         w_depth_info = (
             (prob.o_depth > 0).astype(jnp.float32)
             * cfg.ba_depth_weight
-            * (camera.fx / jnp.maximum(prob.o_depth, 0.25)) ** 2
+            / (sigma * sigma)
         )
     else:
         w_depth_info = jnp.zeros_like(prob.o_depth)
+
+    # The depth term is ALWAYS Huber-robustified (both LM rounds, fixed
+    # delta): unlike reprojection edges it has no chi2 pruning round, and a
+    # single outlier depth reading (edge shadowing, hole boundary) with a
+    # quadratic pull measurably destabilizes the whole window - observed on
+    # the fr1-like hard scene as ATE jumping 1 -> 67 cm between depth-weight
+    # settings before robustification.
+    depth_delta = cfg.huber_delta
 
     def total_cost(poses, pts):
         e, p_c, _ = _residuals(prob, poses, pts, camera)
         c2 = jnp.sum(e * e, axis=-1)
         rd = prob.o_depth - p_c[..., 2]
+        c2_d = w_depth_info * rd * rd  # sigma-normalized depth chi2
         return jnp.sum(
-            maskf * (lm_ops._robust_cost(c2, huber_delta) + w_depth_info * rd * rd)
+            maskf
+            * (
+                lm_ops._robust_cost(c2, huber_delta)
+                + lm_ops._robust_cost(c2_d, depth_delta)
+            )
         )
 
     free_pose = (~prob.wfixed) & prob.wval
@@ -218,7 +255,12 @@ def _lm_phase(cfg, camera, prob, poses0, pts0, obs_mask, iterations, huber_delta
         Jd_pose = -jnp.stack([zeros, zeros, ones, Y, -X, zeros], axis=-1)
         Jd_pt = -R[..., 2, :]
         r_d = prob.o_depth - p_c[..., 2]
-        wd = maskf * w_depth_info
+        # IRLS Huber on the normalized depth chi2 (see depth_delta above)
+        wd = (
+            maskf
+            * w_depth_info
+            * lm_ops._huber_weights(w_depth_info * r_d * r_d, depth_delta)
+        )
         wdp = wd * prob.o_pose_free.astype(jnp.float32)
 
         # low-precision per-edge block building (f32 accumulation): the

@@ -181,7 +181,13 @@ def _match_and_estimate(cfg: VOConfig, camera, state: VOState, nn, feats, kp_cam
     mres = matching.gate_matches(
         nn, cand, cfg.match_ratio, cfg.min_match_distance
     )
-    midx, mval = packing.compact_indices(mres.matched, cfg.pnp_max_points)
+    # over-capacity frames keep the BEST matches by descriptor distance
+    # (slot order would keep the oldest mappoints and drop the freshest -
+    # the reference has no cap at all, src/frontend.cpp:219-230, so quality
+    # selection is the closest fixed-shape equivalent)
+    midx, mval = packing.compact_best_indices(
+        mres.matched, mres.distance, cfg.pnp_max_points
+    )
     p_w = jnp.take(state.mp_pos, midx, axis=0)
     kpi = jnp.take(mres.kp_index, midx)
     uv = jnp.take(feats.xy, kpi, axis=0)
@@ -262,6 +268,7 @@ def track_compute(cfg: VOConfig, camera, state: VOState, frame: FrameInput) -> T
         border=cfg.edge_threshold,
         angle_bins=cfg.orb_angle_bins,
         use_bf16=cfg.orb_bf16,
+        brief_chunk=cfg.orb_brief_chunk,
     )
     dep = depth_mod.lookup_depth(frame.depth, feats.xy, camera.depth_scale)
     kp_cam = cam_mod.pixel2camera(camera, feats.xy, dep.depth)

@@ -196,3 +196,32 @@ def test_ba_noop_on_empty_window():
     assert int(out.num_poses) == 0
     assert not bool(jnp.any(jnp.isnan(state2.mp_pos)))
     assert not bool(jnp.any(jnp.isnan(state2.kf_pose)))
+
+
+def test_ba_robust_to_outlier_depth_measurements():
+    """Depth-prior edges are Huber-robustified with sigma(z)-normalized
+    weights (pipeline/backend._lm_phase): a handful of wildly wrong sensor
+    depths (edge shadowing / hole boundaries on real Kinect data) must not
+    destabilize the window.  Regression for the fr1-like hard-scene blowups
+    (ATE 1 -> 67 cm) observed before robustification."""
+    cfg = small_cfg()
+    cam, state, poses_true, pts_true = build_scene_state(cfg)
+    rng = np.random.default_rng(7)
+    state = perturb_state(state, rng)
+    # corrupt the measured depth of 6 observations: gross outliers of the
+    # kind edge shadowing produces (far-background depth behind a box edge)
+    bad_pts = jnp.asarray([2, 5, 11, 17, 23, 31])
+    state = state._replace(
+        obs_depth=state.obs_depth.at[bad_pts, 1].multiply(3.0)
+    )
+    step = jax.jit(functools.partial(backend.ba_step, cfg, cam))
+    state2, _ = step(state, jnp.int32(3))
+    after = pose_errors(state2, poses_true, 4)
+    assert after[1:].max() < 2e-3, f"outlier depths destabilized BA: {after}"
+    pt_err = np.linalg.norm(
+        np.asarray(state2.mp_pos[:120]) - np.asarray(pts_true), axis=1
+    )
+    assert np.median(pt_err) < 5e-3
+    # even the points with a corrupted depth edge stay near truth: the
+    # robust loss caps the pull
+    assert pt_err[np.asarray(bad_pts)].max() < 0.05

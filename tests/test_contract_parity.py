@@ -119,12 +119,6 @@ def test_contract_parity_easy(easy_sequence, easy_twin_ate):
     )
 
 
-@pytest.mark.xfail(
-    strict=False,
-    reason="hard-world accuracy gap under active investigation (measured "
-    "r3: ours 1.03 cm vs twin 0.76 cm at 640x480/240f - suspect the "
-    "depth-prior BA edges amplifying sensor depth noise)",
-)
 def test_contract_parity_hard(hard_sequence):
     """Full contract scale on the fr1-like hard world: ours within 5%."""
     twin_ate = _twin_ate(hard_sequence)

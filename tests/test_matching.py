@@ -88,6 +88,35 @@ def test_compact_indices_empty():
     assert (np.asarray(idx) == 0).all()
 
 
+def test_compact_best_indices_prefers_low_scores():
+    """Over-capacity packing must keep the best-scoring entries (smallest
+    Hamming distance), not the lowest slot indices - slot order keeps the
+    OLDEST mappoints and drops the fresh ones (late-sequence drift)."""
+    mask = jnp.asarray([True, True, False, True, True, True, False, True])
+    score = jnp.asarray([90, 40, 0, 10, 40, 5, 1, 200])
+    idx, valid = packing.compact_best_indices(mask, score, 3)
+    assert all(np.asarray(valid))
+    # best three set entries are slots 5 (5), 3 (10), and one of the 40s
+    # (tie at the threshold bin broken by slot index -> 1)
+    assert set(np.asarray(idx).tolist()) == {5, 3, 1}
+    # exact-capacity and under-capacity fall back to keep-everything
+    idx2, valid2 = packing.compact_best_indices(mask, score, 6)
+    assert set(np.asarray(idx2).tolist()) == {0, 1, 3, 4, 5, 7}
+    idx3, valid3 = packing.compact_best_indices(mask, score, 8)
+    assert np.asarray(valid3).sum() == 6
+    np.testing.assert_array_equal(np.asarray(idx3)[:6], [0, 1, 3, 4, 5, 7])
+
+
+def test_compact_best_indices_empty_and_uniform():
+    idx, valid = packing.compact_best_indices(jnp.zeros(8, bool), jnp.zeros(8, jnp.int32), 4)
+    assert not np.asarray(valid).any()
+    # all-equal scores degrade to compact_indices order
+    mask = jnp.asarray([True] * 6 + [False, False])
+    idx2, valid2 = packing.compact_best_indices(mask, jnp.full(8, 7, jnp.int32), 4)
+    np.testing.assert_array_equal(np.asarray(idx2), [0, 1, 2, 3])
+    assert all(np.asarray(valid2))
+
+
 def test_hamming_packed_matches_bipolar_matmul():
     """ops/pallas_match.py oracle: distance from packed uint32 words must
     equal the bipolar-matmul distance for the same descriptors."""
