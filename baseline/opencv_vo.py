@@ -965,6 +965,12 @@ def run(n_frames=240, width=640, height=480, enable_ba=True, threaded_ba=True,
     and the TPU pipeline on the SAME rendered frames without paying the
     renderer twice)."""
     synthetic = _load_synthetic()
+    # cv2's RANSAC and FLANN-LSH draw from OpenCV's global RNG; unseeded,
+    # the twin's ATE on the identical sequence spreads ~20% between runs
+    # (observed 0.78-0.93 cm), which makes any "within 5% of the twin"
+    # assertion a coin flip.  The reference binary is equally stochastic -
+    # a fixed seed just picks one reproducible draw, chosen blind (0).
+    cv2.setRNGSeed(0)
     cfg = dict(DEFAULT_CFG)
     cfg["number_of_features"] = features
     if frames is None:

@@ -171,6 +171,18 @@ class VOConfig:
     triangulation_min_obs: int = 2
     triangulation_sv_ratio: float = 1e-2
     triangulation_batch: int = 1024  # mappoints triangulated per keyframe
+    # Minimum camera-center span (meters) among a landmark's observers
+    # before a DLT refinement may overwrite its depth-derived position.
+    # The sigma-ratio gate only rejects algebraic degeneracy: two keyframes
+    # 0.05 m apart at fr1 depths pass it while triangulating with
+    # z^2 sigma_px/(f b) ~ 8 cm depth noise - 40x the Kinect axial noise of
+    # the position being overwritten (break-even b = sigma_px/(f k) ~ 0.7 m
+    # at 0.5 px).  The reference is insulated by its break-after-one quirk
+    # (frontend.cpp:501); at triangulation_batch scale the unguarded
+    # refinement corrupted the EARLY map, measured on the 240-frame easy
+    # scene (CPU) as frames 0-40 RMSE 2.51 cm vs 0.2-0.4 cm later.
+    # 0 disables the gate (and strict_parity sets 0).
+    triangulation_min_baseline: float = 0.4
     # the reference `break`s after the first successful triangulation per
     # keyframe (frontend.cpp:501); set True only for strict parity runs
     compat_single_triangulation: bool = False
@@ -198,6 +210,7 @@ class VOConfig:
         "enable_relocalization": False,  # reference stays LOST (frontend.cpp:146-148)
         "ba_use_depth_prior": False,  # g2o backend never uses the depth channel
         "compat_single_triangulation": True,  # frontend.cpp:501 break
+        "triangulation_min_baseline": 0.0,  # reference has no parallax gate
         "compat_double_lost_increment": True,  # frontend.cpp:113-114
         "compat_write_untracked_poses": True,  # run_vo.cpp:116 unconditional
         "keyframe_eviction": "refuse",  # reference never recycles keyframes

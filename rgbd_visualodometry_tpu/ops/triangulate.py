@@ -38,7 +38,19 @@ def triangulate(
     obs_mask: jnp.ndarray,  # [B, K] bool
     sv_ratio: float = 1e-2,
     min_obs: int = 2,
+    min_baseline: float = 0.0,
 ) -> TriangulationResult:
+    """``min_baseline`` > 0 additionally requires the observing camera
+    centers to span at least that distance.  The reference's sigma-ratio
+    gate only rejects ALGEBRAICALLY degenerate systems; a pair of keyframes
+    one keyframe-threshold apart (0.05 m) at fr1 depths (~2 m) passes it
+    easily yet triangulates with ~z^2*sigma_px/(f*b) ~ 8 cm depth noise -
+    40x worse than the Kinect sensor noise model (sigma = 1.4e-3 z^2 ~
+    6 mm) of the depth-derived position it would overwrite.  The break-even
+    baseline is sigma_px/(f*k) ~ 0.7 m; the reference never faces this at
+    scale because it `break`s after ONE success per keyframe
+    (frontend.cpp:501) while this pipeline refines up to
+    ``triangulation_batch`` landmarks per keyframe."""
     P = se3.to_matrix34(poses)  # [B, K, 3, 4]
     x = norm_xy[..., 0:1]
     y = norm_xy[..., 1:2]
@@ -70,4 +82,12 @@ def triangulate(
         lam[..., 1] > 1e-4 * lam[..., 3]
     )
     enough = jnp.sum(obs_mask, axis=-1) >= min_obs
-    return TriangulationResult(points=pts, ok=quality & enough)
+    ok = quality & enough
+    if min_baseline > 0.0:
+        # camera centers c = -R^T t from the T_c_w rows of P
+        c = -jnp.einsum("...ij,...i->...j", P[..., :3, :3], P[..., :3, 3])
+        d2 = jnp.sum((c[..., :, None, :] - c[..., None, :, :]) ** 2, axis=-1)
+        pair_ok = obs_mask[..., :, None] & obs_mask[..., None, :]
+        span2 = jnp.max(jnp.where(pair_ok, d2, 0.0), axis=(-2, -1))
+        ok = ok & (span2 >= min_baseline * min_baseline)
+    return TriangulationResult(points=pts, ok=ok)

@@ -415,7 +415,8 @@ def apply_updates(cfg: VOConfig, camera, state: VOState, it: TrackInter):
     poses_obs = jnp.take(state.kf_pose, jnp.clip(obs_kf, 0, None), axis=0)  # [B, M, 7]
     norm_xy = cam_mod.pixel2camera(camera, obs_uv, 1.0)[..., :2]
     tri = triangulate.triangulate(
-        poses_obs, norm_xy, obs_ok, cfg.triangulation_sv_ratio, cfg.triangulation_min_obs
+        poses_obs, norm_xy, obs_ok, cfg.triangulation_sv_ratio,
+        cfg.triangulation_min_obs, min_baseline=cfg.triangulation_min_baseline,
     )
     tri_ok = tval & tri.ok & (tri.points[:, 2] > 0) & is_kf_eff  # pworld[2]>0
     if cfg.compat_single_triangulation:

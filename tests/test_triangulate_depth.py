@@ -65,6 +65,41 @@ def test_triangulate_degenerate_baseline_fails_gate():
     assert not bool(res.ok.any())
 
 
+def test_triangulate_min_baseline_gate():
+    """Observer spans below ``min_baseline`` are rejected even when the
+    sigma-ratio gate passes: keyframes one 0.05 m keyframe-threshold apart
+    triangulate with ~8 cm depth noise at fr1 depths, far worse than the
+    depth-derived position the refinement would overwrite."""
+    rng = np.random.default_rng(3)
+    B, K = 8, 3
+    pts = rng.uniform([-1, -1, 2], [1, 1, 5], (B, 3)).astype(np.float32)
+    # camera centers 0.05 m apart (keyframe threshold), then one 0.5 m away
+    near = jnp.stack(
+        [se3.exp(jnp.asarray([0.05 * k, 0.0, 0.0, 0.0, 0.0, 0.0])) for k in range(K)]
+    )
+    wide = jnp.stack(
+        [se3.exp(jnp.asarray([0.5 * k, 0.0, 0.0, 0.0, 0.0, 0.0])) for k in range(K)]
+    )
+    for poses, span in ((near, 0.05 * (K - 1)), (wide, 0.5 * (K - 1))):
+        poses_b = jnp.broadcast_to(poses[None], (B, K, 7))
+        p_cam = se3.apply(poses_b, jnp.asarray(pts)[:, None, :])
+        norm_xy = p_cam[..., :2] / p_cam[..., 2:3]
+        mask = jnp.ones((B, K), bool)
+        ungated = triangulate.triangulate(poses_b, norm_xy, mask)
+        gated = triangulate.triangulate(poses_b, norm_xy, mask, min_baseline=0.4)
+        assert bool(ungated.ok.all())  # sigma gate alone accepts both
+        assert bool(gated.ok.all()) == (span >= 0.4)
+    # the gate only looks at VALID observers: a wide pose hidden by the mask
+    # must not unlock a narrow pair
+    mixed = jnp.concatenate([near[:2], wide[2:3]])  # centers 0, 0.05, 1.0
+    poses_b = jnp.broadcast_to(mixed[None], (B, K, 7))
+    p_cam = se3.apply(poses_b, jnp.asarray(pts)[:, None, :])
+    norm_xy = p_cam[..., :2] / p_cam[..., 2:3]
+    mask = jnp.ones((B, K), bool).at[:, 2].set(False)
+    gated = triangulate.triangulate(poses_b, norm_xy, mask, min_baseline=0.4)
+    assert not bool(gated.ok.any())
+
+
 def test_depth_lookup_center_and_fallback():
     depth_img = np.zeros((10, 12), np.uint16)
     depth_img[5, 6] = 5000  # 1.0 m at (x=6, y=5)
