@@ -94,11 +94,12 @@ class VOConfig:
     # (the reference's g2o backend never uses the depth channel and silently
     # has this freedom too) while releasing its grip exactly where sensor
     # depth is least trustworthy.  Set False for strict reference parity.
-    # Weight 0.2 measured best-balanced across scenes on TPU (240-frame
-    # 640x480, twin baseline in parentheses): easy 0.73 cm (0.805), hard
-    # fr1-like 0.69 cm (0.76).  w0.1 flips the balance (easy 0.58, hard
-    # 0.81); magnitudes beyond ~2x in either direction destabilize the
-    # hard scene (see the robustification note in pipeline/backend.py).
+    # With the triangulation baseline gate in place (which removed the
+    # early-map corruption that made ATE chaotic in the weight), 240-frame
+    # 640x480 ATE is INSENSITIVE to this weight on the clean-depth easy
+    # scene (w0.1 / w0.2 / off all measure 0.26 cm, twin 0.93) and the
+    # prior earns its keep exactly where depth is noisy: hard fr1-like
+    # scene 0.17 cm with w0.2 vs 0.66 cm with the prior off (twin 0.76).
     ba_use_depth_prior: bool = True
     ba_depth_weight: float = 0.2
     ba_depth_sigma_scale: float = 1.4e-3
