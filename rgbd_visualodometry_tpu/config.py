@@ -84,6 +84,19 @@ class VOConfig:
     pose_ba_iterations: int = 10  # per round; two rounds as in the reference
     pose_chi2_outlier: float = 1.0  # chi2>1 -> outlier (frontend.cpp:293-307)
 
+    # ---- coarse-round lightening (throughput knobs; 0 = inherit the full
+    #      fine-round strength, the reference behavior) ----
+    # The tracking step runs match -> RANSAC -> LM twice per frame: coarse
+    # at the previous pose, fine at the refreshed pose (the reference's
+    # double EstimatePosePnP, frontend.cpp:100-108).  The fine round always
+    # re-runs the FULL search seeded by the coarse result, so the coarse
+    # round only has to land inside the fine round's convergence basin -
+    # fewer hypothesis lanes / LM iterations there trade nothing that the
+    # fine round does not re-earn.  Accuracy under any nonzero setting used
+    # for benchmarking must be re-verified (test_throughput_config_parity).
+    coarse_ransac_hypotheses: int = 0
+    coarse_pose_ba_iterations: int = 0
+
     # ---- local BA backend (src/backend.cpp:19-195) ----
     ba_iterations: int = 10  # per round; two rounds with pruning in between
     # Depth-prior edges: each observation with a measured sensor depth adds a
@@ -131,6 +144,13 @@ class VOConfig:
     # device; False forces the f32 path everywhere so the CPU-tested
     # numerics can be reproduced on TPU (parallel of ba_bf16)
     orb_bf16: bool = True
+    # bf16 for the patch-canvas row-take and the one-hot column-select
+    # matmul in ORB extract (f32 accumulation) - halves the HBM traffic of
+    # the largest per-frame intermediate ([N, 2*PATCH, padded_width], ~88 MB
+    # per 640x480 stream).  Pixel values lose <1 gray level, the same
+    # magnitude as the sampler's own 0.5 px offset rounding; TPU only (the
+    # CPU path stays f32 like orb_bf16).  Off until measured to win.
+    orb_patch_bf16: bool = False
 
     # ---- descriptor matching layout ----
     # True: match straight from the packed [C, 8] uint32 descriptor pool

@@ -212,7 +212,7 @@ def _descriptors_from_image(blurred: jnp.ndarray, xy: jnp.ndarray, angles: jnp.n
     jax.jit,
     static_argnames=(
         "nfeatures", "nlevels", "scale", "threshold", "border", "angle_bins",
-        "use_bf16", "brief_chunk",
+        "use_bf16", "brief_chunk", "patch_bf16",
     ),
 )
 def extract(
@@ -225,6 +225,7 @@ def extract(
     angle_bins: int = 120,
     use_bf16: bool = True,
     brief_chunk: int = 6,
+    patch_bf16: bool = False,
 ) -> ORBFeatures:
     """Full ORB extraction on a float32 grayscale image [H, W].
 
@@ -289,8 +290,17 @@ def extract(
         canvas_slot[lvl] = len(canvases) // 2  # level's block pair index
         canvases.append(jnp.pad(padded, ((0, ph0 - h), (0, pw0 - w))))
         canvases.append(jnp.pad(blurred_p, ((0, ph0 - h), (0, pw0 - w))))
-    # [2L * ph0, pw0]: raw canvas of level l at slot 2l, blurred at 2l+1
-    canvas = jnp.concatenate(canvases, axis=0)
+    # [2L * ph0, pw0]: raw canvas of level l at slot 2l, blurred at 2l+1.
+    # bf16 canvas (config orb_patch_bf16) halves the row-take + column-
+    # select HBM traffic - the largest per-frame intermediate; pixel values
+    # lose <1 gray level (same order as the sampler's 0.5 px rounding), and
+    # all downstream reductions accumulate f32.  TPU-only, like orb_bf16.
+    pt = (
+        jnp.bfloat16
+        if (patch_bf16 and jax.default_backend() != "cpu")
+        else jnp.float32
+    )
+    canvas = jnp.concatenate(canvases, axis=0).astype(pt)
 
     xy_all = jnp.concatenate([d[3] for d in dets], axis=0)  # [N, 2] int32
     slot_all = jnp.concatenate(
@@ -309,8 +319,8 @@ def extract(
     # column window via batched one-hot matmul (contract over pw0)
     col_idx = xy_all[:, 0:1] + dy[None, :]  # [N, PATCH]
     colsel = (col_idx[:, None, :] == jnp.arange(pw0)[None, :, None]).astype(
-        jnp.float32
-    )  # [N, pw0, PATCH]
+        pt
+    )  # [N, pw0, PATCH]; one-hot is exact in bf16
     patches2 = jax.lax.dot_general(
         rows, colsel,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),

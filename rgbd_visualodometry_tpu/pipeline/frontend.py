@@ -160,7 +160,7 @@ class StepOutput(NamedTuple):
         return self._field("num_dropped_mappoints").astype(jnp.int32)
 
 
-def _match_and_estimate(cfg: VOConfig, camera, state: VOState, nn, feats, kp_cam, dep, tmap, pose, key, is_lost):
+def _match_and_estimate(cfg: VOConfig, camera, state: VOState, nn, feats, kp_cam, dep, tmap, pose, key, is_lost, coarse=False):
     """One coarse-or-fine round: candidates -> match -> RANSAC -> LM.
 
     The reference runs this twice per frame (``frontend.cpp:100-108``); the
@@ -194,14 +194,19 @@ def _match_and_estimate(cfg: VOConfig, camera, state: VOState, nn, feats, kp_cam
     p_cam = jnp.take(kp_cam, kpi, axis=0)
     d_ok = jnp.take(dep.valid, kpi) & mval
 
+    # coarse-round lightening: the fine round re-runs the full search from
+    # this round's pose, so the coarse round may use fewer lanes/iterations
+    # (0 = inherit full strength - the reference runs both rounds full)
+    n_hyp = (cfg.coarse_ransac_hypotheses or cfg.ransac_hypotheses) if coarse else cfg.ransac_hypotheses
+    lm_iters = (cfg.coarse_pose_ba_iterations or cfg.pose_ba_iterations) if coarse else cfg.pose_ba_iterations
     rr = pnp.ransac_pnp(
         key, p_w, uv, p_cam, d_ok, mval, pose, camera,
-        cfg.ransac_hypotheses, cfg.ransac_reproj_threshold,
+        n_hyp, cfg.ransac_reproj_threshold,
         depth_free_fraction=cfg.ransac_depth_free_fraction,
     )
     ref = lm.refine_pose(
         rr.pose, p_w, uv, rr.inliers & mval, camera,
-        cfg.pose_ba_iterations, cfg.huber_delta, cfg.pose_chi2_outlier,
+        lm_iters, cfg.huber_delta, cfg.pose_chi2_outlier,
     )
     info = dict(
         midx=midx, mval=mval, kpi=kpi, uv=uv, rr=rr, ref=ref,
@@ -269,6 +274,7 @@ def track_compute(cfg: VOConfig, camera, state: VOState, frame: FrameInput) -> T
         angle_bins=cfg.orb_angle_bins,
         use_bf16=cfg.orb_bf16,
         brief_chunk=cfg.orb_brief_chunk,
+        patch_bf16=cfg.orb_patch_bf16,
     )
     dep = depth_mod.lookup_depth(frame.depth, feats.xy, camera.depth_scale)
     kp_cam = cam_mod.pixel2camera(camera, feats.xy, dep.depth)
@@ -288,7 +294,7 @@ def track_compute(cfg: VOConfig, camera, state: VOState, frame: FrameInput) -> T
         )
     else:
         nn = matching.nearest_keypoints(state.mp_bip, feats.desc_bipolar, feats.valid)
-    pose_c, _ = _match_and_estimate(cfg, camera, state, nn, feats, kp_cam, dep, tmap, state.prev_pose, k1, is_lost)
+    pose_c, _ = _match_and_estimate(cfg, camera, state, nn, feats, kp_cam, dep, tmap, state.prev_pose, k1, is_lost, coarse=True)
     pose_f, info = _match_and_estimate(cfg, camera, state, nn, feats, kp_cam, dep, tmap, pose_c, k2, is_lost)
 
     # ---- quality gate (IsGoodEstimation, frontend.cpp:334-351) -----------

@@ -71,6 +71,18 @@ def test_frontend_only_mode(scene):
     assert ate_of(results, seq).rmse < 0.03
 
 
+def test_coarse_round_lightening_tracks(scene):
+    """Throughput knobs: a lighter coarse round (fewer RANSAC lanes, fewer
+    LM iterations) must still track accurately - the fine round re-runs the
+    full search from the coarse pose (frontend.cpp:100-108 semantics)."""
+    cfg = small_cfg(coarse_ransac_hypotheses=16, coarse_pose_ba_iterations=4)
+    seq = synthetic.generate_sequence(15, scene=scene)
+    vo, results = run_sequence(cfg, seq)
+    assert all(r.tracked for r in results)
+    ate = ate_of(results, seq)
+    assert ate.rmse < 0.02, f"ATE {ate.rmse * 100:.2f} cm"
+
+
 def test_goes_lost_on_garbage_and_stays_lost(scene):
     """Strict reference behavior: LOST is terminal (LostHandler,
     frontend.cpp:146-148) when relocalization is disabled."""
