@@ -252,3 +252,54 @@ def test_brief_bf16_parity_on_tpu():
     if "NO_TPU" in proc.stdout:
         pytest.skip("no TPU attached")
     assert proc.returncode == 0, proc.stdout + proc.stderr
+
+
+def test_patch_bf16_parity_on_tpu():
+    """Same contract for ``orb_patch_bf16`` (bf16 patch-canvas row-take +
+    column-select): identical keypoint coordinates, small angle deltas, and
+    < 1.5% descriptor-bit flips vs the f32 canvas - run on the real TPU
+    (the CPU path never narrows), skipped when none is attached."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    env.pop("XLA_FLAGS", None)
+    code = textwrap.dedent(
+        """
+        import jax, sys
+        if jax.default_backend() != "tpu":
+            print("NO_TPU"); sys.exit(0)
+        import jax.numpy as jnp
+        import numpy as np
+        from rgbd_visualodometry_tpu.ops import orb
+        rng = np.random.default_rng(7)
+        img = np.zeros((240, 320), np.float32)
+        for _ in range(80):
+            y, x = rng.integers(10, 220), rng.integers(10, 300)
+            h, w = rng.integers(8, 30, 2)
+            img[y:y+h, x:x+w] += rng.uniform(30, 120)
+        img = np.clip(img + rng.normal(0, 3, img.shape), 0, 255).astype(np.float32)
+        f_bf = orb.extract(jnp.asarray(img), nfeatures=200, nlevels=4, patch_bf16=True)
+        f_32 = orb.extract(jnp.asarray(img), nfeatures=200, nlevels=4, patch_bf16=False)
+        np.testing.assert_array_equal(np.asarray(f_bf.xy), np.asarray(f_32.xy))
+        v = np.asarray(f_bf.valid) & np.asarray(f_32.valid)
+        da = np.abs(np.asarray(f_bf.angle)[v] - np.asarray(f_32.angle)[v])
+        da = np.minimum(da, 2 * np.pi - da)
+        assert np.percentile(da, 95) < 0.1, f"angle p95 delta {np.percentile(da, 95):.4f} rad"
+        a = np.asarray(f_bf.desc)[v]
+        b = np.asarray(f_32.desc)[v]
+        flips = np.unpackbits((a ^ b).view(np.uint8), axis=-1).sum()
+        frac = flips / (v.sum() * 256.0)
+        assert frac < 0.015, f"patch bf16 flipped {frac:.2%} of descriptor bits"
+        print(f"OK bit-flip fraction {frac:.4%}")
+        """
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True, text=True,
+        timeout=900, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    if "NO_TPU" in proc.stdout:
+        pytest.skip("no TPU attached")
+    assert proc.returncode == 0, proc.stdout + proc.stderr
