@@ -992,6 +992,7 @@ def run(n_frames=240, width=640, height=480, enable_ba=True, threaded_ba=True,
     fe = FrontEnd(cfg, vo_map, backend)
 
     est = []  # (timestamp, T_w_c center) for ATE
+    est_full = []  # (timestamp, R_c_w, t_c_w) full poses for RPE
     gt = []
     times = []
     for f in frames:
@@ -1002,6 +1003,7 @@ def run(n_frames=240, width=640, height=480, enable_ba=True, threaded_ba=True,
             break
         R, t = fe.pose
         est.append((f.timestamp, -R.T @ t))  # T_w_c translation (run_vo.cpp:116)
+        est_full.append((f.timestamp, R.copy(), t.copy()))
         q = f.T_c_w[:4]
         Rg = _quat_to_R(q)
         tg = f.T_c_w[4:7]
@@ -1021,6 +1023,9 @@ def run(n_frames=240, width=640, height=480, enable_ba=True, threaded_ba=True,
         ate_rmse_m=float(ate),
         stats=fe.stats,
         ba_runs=backend.runs if backend else 0,
+        # full estimated poses (timestamp, R_c_w, t_c_w) so offline RPE can
+        # be computed against ground truth like tools/evaluate_rpe.py
+        trajectory=est_full,
     )
 
 
@@ -1055,6 +1060,7 @@ def main():
         enable_ba=not args.no_ba, threaded_ba=not args.sync_ba,
         features=args.features, hard=args.hard,
     )
+    res = {k: v for k, v in res.items() if k != "trajectory"}  # ndarrays
     print(json.dumps(res, indent=2))
     if args.json_out:
         with open(args.json_out, "w") as f:
