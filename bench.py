@@ -167,7 +167,7 @@ def bench_multistream(
     same staged batches and keeps the best window: the chip sits behind a
     shared tunnel whose load spikes can span all three windows of a single
     pass (observed spread at 72 streams: 184-206 FPS between back-to-back
-    bench processes), so the headline phase samples two independent passes.
+    bench processes), so the headline phase samples three independent passes.
     """
     import jax
     import jax.numpy as jnp
@@ -235,7 +235,7 @@ def main():
     # more streams amortize it over more frames
     for s in FULL_VO_CASCADE:
         try:
-            got = bench_multistream(cfg, s, full_vo=True, repeats=2)
+            got = bench_multistream(cfg, s, full_vo=True, repeats=3)
             print(f"[bench] {s}-stream full VO: {got:.2f} FPS", file=sys.stderr, flush=True)
             if got > fps_multi_vo:
                 fps_multi_vo, used_streams_vo = got, s
