@@ -45,6 +45,13 @@ class ATEResult(NamedTuple):
     min: float
     max: float
     num_pairs: int
+    # per-pair data backing the reference's --save / --save_associations /
+    # --plot outputs (``evaluate_ate.py:164-186``); trailing fields with
+    # defaults so stats-only callers are unaffected
+    est_stamps: np.ndarray | None = None  # [N] matched estimate timestamps
+    gt_stamps: np.ndarray | None = None  # [N] matched ground-truth timestamps
+    est_aligned: np.ndarray | None = None  # [N, 3] estimate after Horn align
+    gt_matched: np.ndarray | None = None  # [N, 3] associated ground truth
 
 
 def absolute_trajectory_error(
@@ -54,9 +61,11 @@ def absolute_trajectory_error(
     gt_xyz: np.ndarray,
     max_difference: float = 0.02,
     offset: float = 0.0,
+    scale: float = 1.0,
 ) -> ATEResult:
     """Associate by timestamp, align, report the reference's statistics set
-    (``evaluate_ate.py:155-162``)."""
+    (``evaluate_ate.py:155-162``).  ``scale`` multiplies the estimated
+    positions before alignment (``evaluate_ate.py:134``)."""
     pairs = associate(est_ts, gt_ts, offset=offset, max_difference=max_difference)
     if len(pairs) < 2:
         raise ValueError(
@@ -64,7 +73,9 @@ def absolute_trajectory_error(
         )
     ei = np.asarray([i for i, _ in pairs])
     gi = np.asarray([j for _, j in pairs])
-    _, _, residuals = horn_align(np.asarray(est_xyz)[ei], np.asarray(gt_xyz)[gi])
+    est_m = np.asarray(est_xyz, np.float64)[ei] * float(scale)
+    gt_m = np.asarray(gt_xyz, np.float64)[gi]
+    R, t, residuals = horn_align(est_m, gt_m)
     return ATEResult(
         rmse=float(np.sqrt(np.mean(residuals**2))),
         mean=float(np.mean(residuals)),
@@ -73,4 +84,8 @@ def absolute_trajectory_error(
         min=float(np.min(residuals)),
         max=float(np.max(residuals)),
         num_pairs=len(pairs),
+        est_stamps=np.asarray(est_ts, np.float64)[ei],
+        gt_stamps=np.asarray(gt_ts, np.float64)[gi],
+        est_aligned=est_m @ R.T + t,
+        gt_matched=gt_m,
     )

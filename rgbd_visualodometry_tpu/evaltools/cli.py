@@ -16,6 +16,45 @@ import sys
 import numpy as np
 
 
+def _plot_ate(res, path: str) -> None:
+    """Top-down (x/y) trajectory comparison png - the reference's --plot
+    output (``evaluate_ate.py:164-180``): ground truth black, aligned
+    estimate blue, red segments joining associated pose pairs."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots()
+    g, e = res.gt_matched, res.est_aligned
+    ax.plot(g[:, 0], g[:, 1], "-", color="black", label="ground truth")
+    ax.plot(e[:, 0], e[:, 1], "-", color="blue", label="estimated")
+    for gp, ep in zip(g[:: max(1, len(g) // 200)], e[:: max(1, len(e) // 200)]):
+        ax.plot([gp[0], ep[0]], [gp[1], ep[1]], "-", color="red", linewidth=0.5)
+    ax.legend()
+    ax.set_xlabel("x [m]")
+    ax.set_ylabel("y [m]")
+    fig.savefig(path, dpi=90)
+    plt.close(fig)
+
+
+def _plot_rpe(res, path: str) -> None:
+    """Translational error over time png - the reference's --plot output
+    (``evaluate_rpe.py:349-360``)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots()
+    stamps = res.pair_stamps[:, 0] - res.pair_stamps[0, 0]
+    ax.plot(stamps, res.trans_errors, "-", color="blue")
+    ax.set_xlabel("time [s]")
+    ax.set_ylabel("translational error [m]")
+    fig.savefig(path, dpi=90)
+    plt.close(fig)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="rgbd-vo-eval", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -25,6 +64,18 @@ def main(argv=None):
     a.add_argument("estimate")
     a.add_argument("--max_difference", type=float, default=0.02)
     a.add_argument("--offset", type=float, default=0.0)
+    a.add_argument("--scale", type=float, default=1.0)
+    a.add_argument(
+        "--save", help="save aligned estimate to disk (format: stamp2 x2 y2 z2)"
+    )
+    a.add_argument(
+        "--save_associations",
+        help="save associated gt + aligned estimate "
+        "(format: stamp1 x1 y1 z1 stamp2 x2 y2 z2)",
+    )
+    a.add_argument(
+        "--plot", help="plot ground truth and aligned estimate to a png"
+    )
     a.add_argument("--verbose", action="store_true")
 
     # full evaluate_rpe.py flag set (tools/evaluate_rpe.py:315-345)
@@ -43,6 +94,15 @@ def main(argv=None):
     r.add_argument("--max_pairs", type=int, default=10000)
     r.add_argument("--offset", type=float, default=0.0)
     r.add_argument("--scale", type=float, default=1.0)
+    r.add_argument(
+        "--save",
+        help="save per-pair errors (format: stamp_est0 stamp_est1 stamp_gt0 "
+        "stamp_gt1 trans_error rot_error)",
+    )
+    r.add_argument(
+        "--plot", help="plot translational error over time to a png "
+        "(requires --fixed_delta)"
+    )
     r.add_argument("--verbose", action="store_true")
 
     s = sub.add_parser("associate", help="timestamp association")
@@ -76,7 +136,23 @@ def main(argv=None):
         res = absolute_trajectory_error(
             est_ts, est[:, 4:7], gt_ts, gt[:, 4:7],
             max_difference=args.max_difference, offset=args.offset,
+            scale=args.scale,
         )
+        if args.save:
+            with open(args.save, "w") as f:
+                for ts, p in zip(res.est_stamps, res.est_aligned):
+                    f.write(f"{ts:.6f} {p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n")
+        if args.save_associations:
+            with open(args.save_associations, "w") as f:
+                for ts1, g, ts2, p in zip(
+                    res.gt_stamps, res.gt_matched, res.est_stamps, res.est_aligned
+                ):
+                    f.write(
+                        f"{ts1:.6f} {g[0]:.6f} {g[1]:.6f} {g[2]:.6f} "
+                        f"{ts2:.6f} {p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n"
+                    )
+        if args.plot:
+            _plot_ate(res, args.plot)
         if args.verbose:
             print(f"compared_pose_pairs {res.num_pairs} pairs")
             print(f"absolute_translational_error.rmse {res.rmse:.6f} m")
@@ -92,12 +168,25 @@ def main(argv=None):
 
         gt_ts, gt = read_trajectory(args.groundtruth)
         est_ts, est = read_trajectory(args.estimate)
+        if args.plot and not args.fixed_delta:
+            ap.error("--plot requires --fixed_delta")
         res = relative_pose_error(
             est_ts, est, gt_ts, gt,
             delta=args.delta, delta_unit=args.delta_unit,
             fixed_delta=args.fixed_delta, max_pairs=args.max_pairs,
             offset=args.offset, scale=args.scale,
         )
+        if args.save:
+            with open(args.save, "w") as f:
+                for s, te, re_ in zip(
+                    res.pair_stamps, res.trans_errors, res.rot_errors
+                ):
+                    f.write(
+                        f"{s[0]:.6f} {s[1]:.6f} {s[2]:.6f} {s[3]:.6f} "
+                        f"{te:.6f} {re_:.6f}\n"
+                    )
+        if args.plot:
+            _plot_rpe(res, args.plot)
         # same stat block as evaluate_rpe.py:361-380
         print(f"compared_pose_pairs {res.num_pairs} pairs")
         print(f"translational_error.rmse {res.trans_rmse:.6f} m")

@@ -102,6 +102,12 @@ class RPEResult(NamedTuple):
     rot_min: float
     rot_max: float
     num_pairs: int
+    # per-pair data backing the reference's --save / --plot outputs
+    # (``evaluate_rpe.py:347-360``); trailing fields with defaults so
+    # stats-only callers are unaffected
+    pair_stamps: np.ndarray | None = None  # [N, 4] est_i est_j gt_i gt_j
+    trans_errors: np.ndarray | None = None  # [N] meters
+    rot_errors: np.ndarray | None = None  # [N] radians
 
 
 def relative_pose_error(
@@ -151,7 +157,7 @@ def relative_pose_error(
     gt_interval = float(np.median(np.diff(gt_ts))) if len(gt_ts) > 1 else 0.02
     gt_max_dt = 2 * gt_interval
 
-    trans_err, rot_err = [], []
+    trans_err, rot_err, stamps = [], [], []
     for i, j in pairs:
         gi = _find_closest_index(gt_ts, est_ts[i] + offset)
         gj = _find_closest_index(gt_ts, est_ts[j] + offset)
@@ -163,6 +169,7 @@ def relative_pose_error(
         E = _ominus(_scale(_ominus(P[j], P[i]), scale), _ominus(Q[gj], Q[gi]))
         trans_err.append(np.linalg.norm(E[:3, 3]))
         rot_err.append(_angle(E))
+        stamps.append((est_ts[i], est_ts[j], gt_ts[gi], gt_ts[gj]))
     if len(trans_err) < 2:
         raise ValueError(
             "couldn't find matching timestamp pairs between groundtruth and "
@@ -184,4 +191,7 @@ def relative_pose_error(
         rot_min=float(np.min(r)),
         rot_max=float(np.max(r)),
         num_pairs=len(t),
+        pair_stamps=np.asarray(stamps, np.float64),
+        trans_errors=t,
+        rot_errors=r,
     )

@@ -161,3 +161,90 @@ def test_rpe_random_mode_samples_capped():
     ts, poses = _circle_traj(n=200)
     r = relative_pose_error(ts, poses, ts, poses, fixed_delta=False, max_pairs=500)
     assert r.num_pairs <= 500
+
+
+def _write_tum(path, ts, poses):
+    from rgbd_visualodometry_tpu.io.trajectory import pose_to_tum_line
+
+    with open(path, "w") as f:
+        for t, p in zip(ts, poses):
+            f.write(pose_to_tum_line(t, p) + "\n")
+
+
+def test_eval_cli_ate_save_and_plot(tmp_path):
+    """The reference's evaluate_ate.py --save/--save_associations/--plot
+    surface (``tools/evaluate_ate.py:123-125``)."""
+    from rgbd_visualodometry_tpu.evaltools.cli import main
+
+    ts, poses = _circle_traj()
+    noisy = poses.copy()
+    noisy[:, 4:7] += np.random.default_rng(1).normal(0, 0.005, (len(ts), 3))
+    gt_f, est_f = tmp_path / "gt.txt", tmp_path / "est.txt"
+    _write_tum(gt_f, ts, poses)
+    _write_tum(est_f, ts, noisy)
+    save = tmp_path / "aligned.txt"
+    assoc = tmp_path / "assoc.txt"
+    png = tmp_path / "ate.png"
+    rc = main(
+        [
+            "ate", str(gt_f), str(est_f), "--verbose",
+            "--save", str(save), "--save_associations", str(assoc),
+            "--plot", str(png),
+        ]
+    )
+    assert rc == 0
+    rows = np.loadtxt(save)
+    assert rows.shape == (len(ts), 4)  # stamp x y z
+    arows = np.loadtxt(assoc)
+    assert arows.shape == (len(ts), 8)  # stamp1 xyz1 stamp2 xyz2
+    # the aligned estimate sits within the noise scale of ground truth
+    assert np.linalg.norm(arows[:, 1:4] - arows[:, 5:8], axis=1).max() < 0.05
+    assert png.stat().st_size > 1000
+
+
+def test_eval_cli_ate_scale(tmp_path):
+    """--scale multiplies the estimate before alignment
+    (``tools/evaluate_ate.py:121``): a half-scale copy aligns exactly at
+    --scale 2."""
+    from rgbd_visualodometry_tpu.evaltools.cli import main
+
+    ts, poses = _circle_traj()
+    half = poses.copy()
+    half[:, 4:7] *= 0.5
+    gt_f, est_f = tmp_path / "gt.txt", tmp_path / "est.txt"
+    _write_tum(gt_f, ts, poses)
+    _write_tum(est_f, ts, half)
+    res = absolute_trajectory_error(ts, half[:, 4:7], ts, poses[:, 4:7], scale=2.0)
+    assert res.rmse < 1e-9
+    assert main(["ate", str(gt_f), str(est_f), "--scale", "2.0"]) == 0
+
+
+def test_eval_cli_rpe_save_and_plot(tmp_path):
+    """The reference's evaluate_rpe.py --save/--plot surface
+    (``tools/evaluate_rpe.py:321-322``; --plot requires --fixed_delta)."""
+    import pytest as _pytest
+
+    from rgbd_visualodometry_tpu.evaltools.cli import main
+
+    ts, poses = _circle_traj(n=90)
+    noisy = poses.copy()
+    noisy[:, 4:7] += np.random.default_rng(2).normal(0, 0.002, (len(ts), 3))
+    gt_f, est_f = tmp_path / "gt.txt", tmp_path / "est.txt"
+    _write_tum(gt_f, ts, poses)
+    _write_tum(est_f, ts, noisy)
+    save = tmp_path / "rpe.txt"
+    png = tmp_path / "rpe.png"
+    rc = main(
+        [
+            "rpe", str(gt_f), str(est_f), "--fixed_delta", "--delta", "1.0",
+            "--save", str(save), "--plot", str(png),
+        ]
+    )
+    assert rc == 0
+    rows = np.loadtxt(save)
+    assert rows.ndim == 2 and rows.shape[1] == 6
+    assert (rows[:, 4] >= 0).all() and (rows[:, 5] >= 0).all()
+    assert png.stat().st_size > 1000
+    # --plot without --fixed_delta is rejected like the reference
+    with _pytest.raises(SystemExit):
+        main(["rpe", str(gt_f), str(est_f), "--plot", str(png)])
