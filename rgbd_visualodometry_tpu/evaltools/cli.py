@@ -187,6 +187,11 @@ def main(argv=None):
                     )
         if args.plot:
             _plot_rpe(res, args.plot)
+        if not args.verbose:
+            # reference prints only the mean translational error
+            # (evaluate_rpe.py:368)
+            print(f"{res.trans_mean:.6f}")
+            return 0
         # same stat block as evaluate_rpe.py:361-380
         print(f"compared_pose_pairs {res.num_pairs} pairs")
         print(f"translational_error.rmse {res.trans_rmse:.6f} m")

@@ -39,9 +39,14 @@ def test_rpe_cli(tmp_path, capsys):
     est = str(tmp_path / "est.txt")
     write_traj(gt, n=90)
     write_traj(est, n=90, vel=0.012)  # 20% velocity error
-    assert eval_cli.main(["rpe", gt, est, "--delta", "1.0"]) == 0
+    assert eval_cli.main(["rpe", gt, est, "--delta", "1.0", "--verbose"]) == 0
     out = capsys.readouterr().out
     assert "translational_error.rmse" in out
+    # without --verbose the reference prints only the mean translational
+    # error (evaluate_rpe.py:368)
+    assert eval_cli.main(["rpe", gt, est, "--delta", "1.0"]) == 0
+    bare = capsys.readouterr().out.strip().splitlines()
+    assert len(bare) == 1 and 0 < float(bare[0]) < 1
 
 
 def test_associate_cli(tmp_path, capsys):
