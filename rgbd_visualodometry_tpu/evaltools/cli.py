@@ -108,6 +108,10 @@ def main(argv=None):
     s = sub.add_parser("associate", help="timestamp association")
     s.add_argument("first_file")
     s.add_argument("second_file")
+    s.add_argument(
+        "--first_only", action="store_true",
+        help="only output associated lines from first file",
+    )
     s.add_argument("--offset", type=float, default=0.0)
     s.add_argument("--max_difference", type=float, default=0.02)
 
@@ -211,10 +215,15 @@ def main(argv=None):
         second = read_file_list(args.second_file)
         ft, st = sorted(first), sorted(second)
         for i, j in associate(ft, st, args.offset, args.max_difference):
-            print(
-                f"{ft[i]:.6f} {' '.join(first[ft[i]])} "
-                f"{st[j]:.6f} {' '.join(second[st[j]])}"
-            )
+            if args.first_only:
+                print(f"{ft[i]:.6f} {' '.join(first[ft[i]])}")
+            else:
+                # the reference prints the second stamp minus the offset
+                # (associate.py:125)
+                print(
+                    f"{ft[i]:.6f} {' '.join(first[ft[i]])} "
+                    f"{st[j] - args.offset:.6f} {' '.join(second[st[j]])}"
+                )
     elif args.cmd == "plot":
         import os
 

@@ -186,3 +186,37 @@ def test_associate_matches_reference_tool(tmp_path):
         for i, j in associate(first, second, max_difference=0.02)
     }
     assert ours == ref_pairs
+
+
+def test_associate_cli_output_matches_reference_tool(tmp_path):
+    """Line-exact CLI comparison, including --offset (the reference prints
+    the second stamp minus the offset, associate.py:125) and --first_only."""
+    from rgbd_visualodometry_tpu.evaltools.cli import main
+
+    rng = np.random.default_rng(8)
+    t1 = np.sort(1305031100.0 + np.cumsum(rng.uniform(0.02, 0.05, 40)))
+    t2 = np.sort(t1 - 0.5 + rng.normal(0, 0.01, 40))[rng.uniform(size=40) > 0.15]
+    a = tmp_path / "first.txt"
+    b = tmp_path / "second.txt"
+    a.write_text("".join(f"{t:.6f} rgb/{i}.png\n" for i, t in enumerate(t1)))
+    b.write_text("".join(f"{t:.6f} depth/{i}.png\n" for i, t in enumerate(t2)))
+
+    import contextlib
+    import io
+
+    for flags in ([], ["--first_only"]):
+        args = [str(a), str(b), "--offset", "0.5", "--max_difference", "0.02", *flags]
+        ref = _run_ref("associate.py", *args)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            assert main(["associate", *args]) == 0
+        ref_rows = [line.split() for line in ref.splitlines()]
+        our_rows = [line.split() for line in buf.getvalue().splitlines()]
+        assert len(ref_rows) == len(our_rows) and len(ref_rows) > 10, flags
+        for rr, orow in zip(ref_rows, our_rows):
+            assert len(rr) == len(orow), flags
+            for x, y in zip(rr, orow):
+                try:
+                    assert abs(float(x) - float(y)) <= PRINT_TOL
+                except ValueError:
+                    assert x == y
