@@ -66,7 +66,10 @@ def absolute_trajectory_error(
     """Associate by timestamp, align, report the reference's statistics set
     (``evaluate_ate.py:155-162``).  ``scale`` multiplies the estimated
     positions before alignment (``evaluate_ate.py:134``)."""
-    pairs = associate(est_ts, gt_ts, offset=offset, max_difference=max_difference)
+    # the reference adds the offset to the ESTIMATE's stamps
+    # (evaluate_ate.py:120,132: associate(gt, est, offset)); our associate()
+    # adds it to its second argument, so the sign flips here
+    pairs = associate(est_ts, gt_ts, offset=-offset, max_difference=max_difference)
     if len(pairs) < 2:
         raise ValueError(
             f"only {len(pairs)} associated pose pairs - trajectories do not overlap"

@@ -104,6 +104,27 @@ def test_ate_matches_reference_tool(tmp_path, seed, drop):
         assert abs(ref[key] - ours) <= PRINT_TOL, (key, ref[key], ours)
 
 
+def test_ate_offset_matches_reference_tool(tmp_path):
+    """--offset is added to the ESTIMATE's stamps (evaluate_ate.py:120);
+    trajectories half a second apart only associate under offset 0.5."""
+    gt_ts, gt = _traj(9, n=60)
+    est = gt.copy()
+    est[:, 4:7] += np.random.default_rng(10).normal(0, 0.003, (len(gt), 3))
+    est_ts = gt_ts - 0.5  # estimate clock runs half a second early
+    gt_f, est_f = str(tmp_path / "gt.txt"), str(tmp_path / "est.txt")
+    _write(gt_f, gt_ts, gt)
+    _write(est_f, est_ts, est)
+
+    ref = _parse_stats(
+        _run_ref("evaluate_ate.py", gt_f, est_f, "--verbose", "--offset", "0.5")
+    )
+    res = absolute_trajectory_error(
+        est_ts, est[:, 4:7], gt_ts, gt[:, 4:7], offset=0.5
+    )
+    assert ref["compared_pose_pairs"] == res.num_pairs == len(gt_ts)
+    assert abs(ref["absolute_translational_error.rmse"] - res.rmse) <= PRINT_TOL
+
+
 def test_ate_scale_matches_reference_tool(tmp_path):
     gt_ts, gt = _traj(3, n=60)
     est = gt.copy()
