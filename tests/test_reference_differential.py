@@ -184,6 +184,29 @@ def test_rpe_fixed_delta_matches_reference_tool(tmp_path, unit, delta):
         assert abs(ref[key] - ours) <= PRINT_TOL, (key, ref[key], ours)
 
 
+def test_rpe_scale_matches_reference_tool(tmp_path):
+    """--scale multiplies the estimate's relative motions (evaluate_rpe.py
+    ``scale(ominus(...), s)``)."""
+    gt_ts, gt = _traj(11, n=60)
+    est = gt.copy()
+    est[:, 4:7] = est[:, 4:7] / 1.25
+    gt_f, est_f = str(tmp_path / "gt.txt"), str(tmp_path / "est.txt")
+    _write(gt_f, gt_ts, gt)
+    _write(est_f, gt_ts, est)
+
+    ref = _parse_stats(
+        _run_ref(
+            "evaluate_rpe.py", gt_f, est_f, "--fixed_delta", "--verbose",
+            "--scale", "1.25",
+        )
+    )
+    res = relative_pose_error(gt_ts, est, gt_ts, gt, fixed_delta=True, scale=1.25)
+    assert ref["compared_pose_pairs"] == res.num_pairs
+    assert abs(ref["translational_error.rmse"] - res.trans_rmse) <= PRINT_TOL
+    # a perfectly rescaled copy has ~zero relative error at the right scale
+    assert res.trans_rmse < 1e-6
+
+
 def test_associate_matches_reference_tool(tmp_path):
     rng = np.random.default_rng(7)
     t1 = np.sort(1305031100.0 + np.cumsum(rng.uniform(0.02, 0.05, 60)))
