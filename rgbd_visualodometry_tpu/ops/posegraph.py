@@ -1,0 +1,219 @@
+"""Batched SE(3) pose-graph optimization (offline global refinement).
+
+Net-new capability beyond the reference (which has no loop closure or
+global relaxation - its backend only ever solves the local covisible
+window, ``src/backend.cpp:19-195``): given keyframe poses and relative-pose
+constraints (sequential odometry edges plus any number of loop-closure
+edges), relax the whole graph with damped Gauss-Newton on the SE(3)
+manifold.
+
+TPU-first shape of the solver:
+
+- All edge residuals and their Jacobians evaluate in one ``vmap`` (the
+  Jacobians come from ``jax.jacfwd`` through the same ``exp``/``log``
+  chain the rest of the codebase uses - exact, and traced once).
+- The normal equations assemble into dense ``[K, K, 6, 6]`` blocks with
+  four scatter-adds (K = keyframes, small) and solve as ONE dense
+  ``[6K, 6K]`` Cholesky - on a TPU a dense solve of a few hundred rows
+  beats any sparse factorization, exactly like the backend's reduced
+  camera system (``pipeline/backend.py``).
+- Fixed iteration count under ``jax.lax.fori_loop`` -> a single compiled
+  program, no Python in the loop.
+
+Conventions: poses are ``T_w_c`` rows ``[K, 7]`` in the package's
+``(qw qx qy qz tx ty tz)`` order; a measurement for edge ``(i, j)`` is the
+relative pose ``T_i^{-1} * T_j`` (pose of camera j expressed in camera i's
+frame); updates are left-multiplicative ``T <- exp(xi) * T`` like every
+other optimizer in the package (``g2o_types.h:56-60`` semantics).
+
+Known limitation (measured, ``tests/test_posegraph.py``): edge information
+weights must stay bounded relative to the odometry chain.  A wrong edge
+whose weight dwarfs everything else (e.g. 100x the odometry weight)
+captures the IRLS iteration - the graph bends until the outlier's residual
+vanishes and the redescending weight recovers - so callers should clamp
+loop-closure weights to the same order as their odometry edges.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from rgbd_visualodometry_tpu.ops import se3
+
+
+class PoseGraph(NamedTuple):
+    """Fixed-capacity edge list for one pose graph."""
+
+    edge_i: jnp.ndarray  # [E] int32
+    edge_j: jnp.ndarray  # [E] int32
+    edge_meas: jnp.ndarray  # [E, 7] measured T_i^-1 * T_j
+    edge_weight: jnp.ndarray  # [E] float32 (information scale)
+    edge_valid: jnp.ndarray  # [E] bool
+
+
+def odometry_edges(poses: jnp.ndarray, weight: float = 1.0) -> PoseGraph:
+    """Sequential odometry constraints from a trajectory: edge (k, k+1)
+    measuring the trajectory's own relative motion."""
+    k = poses.shape[0]
+    i = jnp.arange(k - 1, dtype=jnp.int32)
+    meas = relative_measurement(poses[:-1], poses[1:])
+    return PoseGraph(
+        edge_i=i,
+        edge_j=i + 1,
+        edge_meas=meas,
+        edge_weight=jnp.full((k - 1,), weight, jnp.float32),
+        edge_valid=jnp.ones((k - 1,), bool),
+    )
+
+
+def relative_measurement(pose_i: jnp.ndarray, pose_j: jnp.ndarray) -> jnp.ndarray:
+    """``T_i^{-1} * T_j`` - the measurement an edge (i, j) stores."""
+    return se3.compose(se3.inverse(pose_i), pose_j)
+
+
+def concat_graphs(a: PoseGraph, b: PoseGraph) -> PoseGraph:
+    return PoseGraph(*(jnp.concatenate([x, y]) for x, y in zip(a, b)))
+
+
+def _edge_residual(xi_i, xi_j, T_i, T_j, meas):
+    """r = log(meas^{-1} * (exp(xi_i) T_i)^{-1} * (exp(xi_j) T_j)) in R^6."""
+    Ti = se3.compose(se3.exp(xi_i), T_i)
+    Tj = se3.compose(se3.exp(xi_j), T_j)
+    return se3.log(
+        se3.compose(se3.inverse(meas), se3.compose(se3.inverse(Ti), Tj))
+    )
+
+
+def _edge_terms(T_i, T_j, meas):
+    """Residual [6] and Jacobians [6, 6] x2 at the current linearization
+    point (xi = 0)."""
+    zero = jnp.zeros(6, T_i.dtype)
+    r = _edge_residual(zero, zero, T_i, T_j, meas)
+    J_i = jax.jacfwd(_edge_residual, argnums=0)(zero, zero, T_i, T_j, meas)
+    J_j = jax.jacfwd(_edge_residual, argnums=1)(zero, zero, T_i, T_j, meas)
+    return r, J_i, J_j
+
+
+def residuals(poses: jnp.ndarray, graph: PoseGraph) -> jnp.ndarray:
+    """[E, 6] edge residuals at the current poses (masked edges -> 0)."""
+    zero = jnp.zeros(6, poses.dtype)
+    r = jax.vmap(
+        lambda i, j, m: _edge_residual(zero, zero, poses[i], poses[j], m)
+    )(graph.edge_i, graph.edge_j, graph.edge_meas)
+    return jnp.where(graph.edge_valid[:, None], r, 0.0)
+
+
+@partial(jax.jit, static_argnames=("num_iterations", "robust_delta"))
+def optimize_pose_graph(
+    poses: jnp.ndarray,  # [K, 7]
+    graph: PoseGraph,
+    num_iterations: int = 10,
+    damping: float = 1e-6,
+    robust_delta: float = 0.0,  # 0 = plain quadratic loss
+    fixed: jnp.ndarray | None = None,  # [K] bool; default: pose 0 (gauge)
+) -> jnp.ndarray:
+    """Damped Gauss-Newton relaxation; returns refined ``[K, 7]`` poses.
+
+    ``robust_delta > 0`` turns on outlier handling in two mechanisms, both
+    needed (measured on a drifted circle with a wrong high-weight loop
+    edge, ``tests/test_posegraph.py``):
+
+    1. a redescending IRLS weight per edge (dynamic-covariance-scaling
+       shape, ``s = min(1, 2d^2/(d^2 + ||r||^2))``) - unlike the Huber
+       kernel the reference uses for BA edges (``src/backend.cpp:84``), a
+       redescending weight drives a grossly-wrong edge's influence toward
+       zero instead of merely linearizing it;
+    2. two-round chi2 pruning like the reference backend
+       (``src/backend.cpp:139-172``): after the first half of the
+       iterations, edges whose residual norm still exceeds
+       ``3 * robust_delta`` are dropped outright and the second half
+       re-optimizes without them.  The soft weight alone leaves a
+       high-information outlier with enough residual influence to distort
+       the graph (measured: 0.28 vs 0.03 position RMSE); annealing the
+       kernel GNC-style is WORSE here - the quadratic early phase simply
+       satisfies the heavy outlier edge (measured 0.92 RMSE).
+    """
+    k = poses.shape[0]
+    if fixed is None:
+        fixed = jnp.zeros((k,), bool).at[0].set(True)
+    free = (~fixed).astype(poses.dtype)
+    # defensive dtype coercion: caller-built graphs may carry float64 under
+    # x64 mode, which would poison every block with unsafe-cast scatters
+    graph = PoseGraph(
+        graph.edge_i.astype(jnp.int32),
+        graph.edge_j.astype(jnp.int32),
+        graph.edge_meas.astype(poses.dtype),
+        graph.edge_weight.astype(poses.dtype),
+        graph.edge_valid.astype(bool),
+    )
+
+    def step(cur, valid):
+        r, J_i, J_j = jax.vmap(
+            lambda i, j, m: _edge_terms(cur[i], cur[j], m)
+        )(graph.edge_i, graph.edge_j, graph.edge_meas)
+
+        w = graph.edge_weight * valid
+        if robust_delta > 0.0:
+            chi2 = jnp.sum(r * r, axis=-1)
+            d2 = robust_delta * robust_delta
+            w = w * jnp.minimum(1.0, 2.0 * d2 / (d2 + chi2))
+
+        # weighted blocks: [E, 6, 6] and [E, 6]
+        JiT = jnp.swapaxes(J_i, -1, -2)
+        JjT = jnp.swapaxes(J_j, -1, -2)
+        w_ = w[:, None, None]
+        H_ii = w_ * (JiT @ J_i)
+        H_ij = w_ * (JiT @ J_j)
+        H_jj = w_ * (JjT @ J_j)
+        b_i = w[:, None] * jnp.einsum("eba,eb->ea", J_i, r)
+        b_j = w[:, None] * jnp.einsum("eba,eb->ea", J_j, r)
+
+        # dense block assembly (K is small; scatter-add is fine offline)
+        Hb = jnp.zeros((k, k, 6, 6), poses.dtype)
+        Hb = Hb.at[graph.edge_i, graph.edge_i].add(H_ii)
+        Hb = Hb.at[graph.edge_i, graph.edge_j].add(H_ij)
+        Hb = Hb.at[graph.edge_j, graph.edge_i].add(jnp.swapaxes(H_ij, -1, -2))
+        Hb = Hb.at[graph.edge_j, graph.edge_j].add(H_jj)
+        bb = jnp.zeros((k, 6), poses.dtype)
+        bb = bb.at[graph.edge_i].add(b_i)
+        bb = bb.at[graph.edge_j].add(b_j)
+
+        # gauge: zero fixed rows/cols, unit diagonal keeps H SPD
+        fm = free[:, None] * free[None, :]
+        Hb = Hb * fm[:, :, None, None]
+        bb = bb * free[:, None]
+        H = Hb.transpose(0, 2, 1, 3).reshape(6 * k, 6 * k)
+        H = H + (damping + 1e-9) * jnp.eye(6 * k, dtype=poses.dtype)
+        fixed_diag = jnp.repeat(fixed.astype(poses.dtype), 6)
+        H = H + jnp.diag(fixed_diag)
+
+        delta = -jax.scipy.linalg.cho_solve(
+            jax.scipy.linalg.cho_factor(H, lower=True), bb.reshape(-1)
+        ).reshape(k, 6)
+        delta = delta * free[:, None]
+        return se3.normalize(se3.compose(se3.exp(delta), cur))
+
+    if robust_delta <= 0.0:
+        return jax.lax.fori_loop(
+            0, num_iterations, lambda _, c: step(c, graph.edge_valid), poses
+        )
+
+    # round 1: soft redescending weights
+    half = max(1, num_iterations // 2)
+    mid = jax.lax.fori_loop(
+        0, half, lambda _, c: step(c, graph.edge_valid), poses
+    )
+    # prune: edges still inconsistent after relaxation are outliers
+    # (two-round scheme of src/backend.cpp:139-172)
+    r_mid = residuals(mid, graph)
+    keep = graph.edge_valid & (
+        jnp.linalg.norm(r_mid, axis=-1) <= 3.0 * robust_delta
+    )
+    # round 2: re-optimize without them
+    return jax.lax.fori_loop(
+        0, num_iterations - half, lambda _, c: step(c, keep), mid
+    )
