@@ -36,6 +36,11 @@ def main(argv=None):
     ap.add_argument("--save-map", metavar="NPZ", help="checkpoint the final map state")
     ap.add_argument("--load-map", metavar="NPZ", help="resume from a map checkpoint")
     ap.add_argument("--stats", metavar="JSONL", help="write per-frame stats records")
+    ap.add_argument(
+        "--global-relax", action="store_true",
+        help="after the run, relax all keyframes against the loop-closure "
+        "pose graph and rewrite the trajectory (net-new vs the reference)",
+    )
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -99,6 +104,31 @@ def main(argv=None):
         stats_path=args.stats,
     )
     wall = time.perf_counter() - t0
+    if args.global_relax:
+        from rgbd_visualodometry_tpu.io.trajectory import TrajectoryWriter
+        from rgbd_visualodometry_tpu.mapstate import LOST
+        from rgbd_visualodometry_tpu.pipeline import globalopt
+
+        report = vo.global_relax()
+        # rewrite with the same frame set run() streamed out
+        keep = [
+            r for r in results
+            if (r.tracked or cfg.compat_write_untracked_poses) and r.fsm != LOST
+        ]
+        if report.kf_ts.size and keep:
+            offs = np.asarray([r.timestamp for r in keep]) - float(vo.time_base)
+            poses = globalopt.correct_trajectory(
+                report, offs, np.asarray([r.pose_w_c for r in keep])
+            )
+            with TrajectoryWriter(cfg.output_file) as w:
+                for r, p in zip(keep, poses):
+                    w.write(r.timestamp, p)
+        print(
+            f"global relax: {report.num_edges} co-obs edges "
+            f"({report.num_loop_edges} loop, {report.num_chain_edges} chain), "
+            f"keyframe correction mean|max "
+            f"{report.mean_correction_m * 100:.2f}|{report.max_correction_m * 100:.2f} cm"
+        )
     if args.save_map:
         from rgbd_visualodometry_tpu.io.checkpoint import save_state
 

@@ -129,19 +129,18 @@ def cholesky_solve(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(x, axis=-1)
 
 
-def kabsch_quat(world: jnp.ndarray, cam: jnp.ndarray) -> jnp.ndarray:
-    """Horn's closed-form absolute orientation: find pose [..., 7] with
-    ``cam ~= R @ world + t`` from point sets ``[..., k, 3]``.
+def horn_quat_from_crosscov(S: jnp.ndarray) -> jnp.ndarray:
+    """Horn's rotation from a CENTERED cross-covariance ``[..., 3, 3]``,
+    ``S[a, b] = sum_i w_i (world_i - wbar)_a (cam_i - cbar)_b`` -> unit
+    quaternion ``[..., 4]`` (w, x, y, z) of the R with ``cam ~= R @ world``.
 
-    Builds the symmetric 4x4 quaternion matrix from the centered
-    cross-covariance and takes the top eigenvector via Jacobi - no SVD,
-    no reflection-sign fixup needed (the quaternion parameterization can
-    only produce proper rotations).
+    Builds the symmetric 4x4 quaternion matrix and takes the top
+    eigenvector via Jacobi - no SVD, no reflection-sign fixup needed (the
+    quaternion parameterization can only produce proper rotations).
+    Shared by ``kabsch_quat`` (raw point sets) and the moment-based
+    weighted Kabsch in ``ops/loopclosure.py`` (per-keyframe-pair
+    scatter-accumulated moments).
     """
-    wc = world.mean(axis=-2, keepdims=True)
-    cc = cam.mean(axis=-2, keepdims=True)
-    # S[a, b] = sum_i (world_i - wbar)_a (cam_i - cbar)_b
-    S = jnp.einsum("...ka,...kb->...ab", world - wc, cam - cc)
     Sxx, Sxy, Sxz = S[..., 0, 0], S[..., 0, 1], S[..., 0, 2]
     Syx, Syy, Syz = S[..., 1, 0], S[..., 1, 1], S[..., 1, 2]
     Szx, Szy, Szz = S[..., 2, 0], S[..., 2, 1], S[..., 2, 2]
@@ -156,7 +155,18 @@ def kabsch_quat(world: jnp.ndarray, cam: jnp.ndarray) -> jnp.ndarray:
     ).reshape(S.shape[:-2] + (4, 4))
     w, V = jacobi_eigh_sym(N)
     q = V[..., :, -1]  # eigenvector of the largest eigenvalue, (w, x, y, z)
-    q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+
+
+def kabsch_quat(world: jnp.ndarray, cam: jnp.ndarray) -> jnp.ndarray:
+    """Horn's closed-form absolute orientation: find pose [..., 7] with
+    ``cam ~= R @ world + t`` from point sets ``[..., k, 3]``.
+    """
+    wc = world.mean(axis=-2, keepdims=True)
+    cc = cam.mean(axis=-2, keepdims=True)
+    # S[a, b] = sum_i (world_i - wbar)_a (cam_i - cbar)_b
+    S = jnp.einsum("...ka,...kb->...ab", world - wc, cam - cc)
+    q = horn_quat_from_crosscov(S)
 
     from rgbd_visualodometry_tpu.ops import se3
 

@@ -312,6 +312,23 @@ class VisualOdometry:
                 self._viewer.export_html(self.map_snapshot(), trajectory=traj)
         return self.results
 
+    def global_relax(self, **kwargs):
+        """Offline loop-closure relaxation of the whole map (net-new vs
+        the reference, whose optimizer never leaves the local covisible
+        window - ``src/backend.cpp:19-195``).  Builds the co-observation
+        pose graph, relaxes every keyframe, and deforms mappoints + the
+        tracking reference rigidly with their anchor keyframes, so it is
+        safe to call mid-run and keep tracking.
+
+        Returns a ``globalopt.RelaxReport``; pass it to
+        ``globalopt.correct_trajectory`` to fix up per-frame poses written
+        before the relaxation (frame timestamps minus ``time_base``).
+        """
+        from rgbd_visualodometry_tpu.pipeline import globalopt
+
+        self.state, report = globalopt.relax_map(self.state, self.cfg, **kwargs)
+        return report
+
     def map_snapshot(self) -> dict[str, np.ndarray]:
         """Host copy of the live map (for the viewer / checkpointing)."""
         s = self.state

@@ -1,0 +1,264 @@
+"""Loop-closure graph construction + global relaxation tests.
+
+Hand-built observation tables with known ground truth verify the
+co-observation Kabsch edges; a drifted-pose problem verifies that
+``relax_map`` recovers the trajectory AND deforms the map with it; an
+end-to-end run verifies ``VisualOdometry.global_relax`` keeps a live
+system coherent.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rgbd_visualodometry_tpu import camera as camera_mod, mapstate
+from rgbd_visualodometry_tpu.camera import Camera
+from rgbd_visualodometry_tpu.config import VOConfig
+from rgbd_visualodometry_tpu.ops import loopclosure, posegraph, se3
+from rgbd_visualodometry_tpu.pipeline import globalopt
+
+
+def _cfg():
+    return VOConfig(max_keyframes=16, max_mappoints=256, max_obs_per_mappoint=6)
+
+
+def _gt_circle_poses(nk=12, radius=3.0):
+    """T_w_c poses on a circle, every camera looking at the origin."""
+    ang = 2 * np.pi * np.arange(nk) / nk
+    pos = np.stack(
+        [radius * np.cos(ang), radius * np.sin(ang), 0.3 * np.sin(2 * ang)],
+        axis=-1,
+    )
+    fwd = -pos / np.linalg.norm(pos, axis=-1, keepdims=True)  # camera z
+    up = np.broadcast_to(np.array([0.0, 0.0, 1.0]), fwd.shape)
+    x = np.cross(up, fwd)
+    x /= np.linalg.norm(x, axis=-1, keepdims=True)
+    y = np.cross(fwd, x)
+    R_w_c = np.stack([x, y, fwd], axis=-1)  # columns = camera axes in world
+    q = se3.matrix_to_quat(jnp.asarray(R_w_c, jnp.float32))
+    return se3.make(q, jnp.asarray(pos, jnp.float32))
+
+
+def _build_state(cfg, T_w_k, points_w, kf_dt=0.5, seed=0):
+    """A VOState whose observation table is the exact projection of
+    ``points_w`` into every keyframe (subset of M per point)."""
+    K, C, M = cfg.max_keyframes, cfg.max_mappoints, cfg.max_obs_per_mappoint
+    nk = T_w_k.shape[0]
+    npnt = points_w.shape[0]
+    cam = Camera.from_config(cfg)
+    T_c_w = se3.inverse(T_w_k)
+
+    # [nk, C, 3] camera-frame points and [nk, C, 2] projections
+    p_cam = jnp.stack([se3.apply(T_c_w[k], points_w) for k in range(nk)])
+    uv_all = np.asarray(camera_mod.camera2pixel(cam, p_cam))
+    p_cam = np.asarray(p_cam)
+
+    rng = np.random.default_rng(seed)
+    obs_kf = np.full((C, M), -1, np.int32)
+    obs_uv = np.zeros((C, M, 2), np.float32)
+    obs_depth = np.zeros((C, M), np.float32)
+    obs_valid = np.zeros((C, M), bool)
+    for c in range(npnt):
+        ks = np.sort(rng.permutation(nk)[:M])
+        for m, k in enumerate(ks):
+            obs_kf[c, m] = k
+            obs_uv[c, m] = uv_all[k, c]
+            obs_depth[c, m] = p_cam[k, c, 2]
+            obs_valid[c, m] = True
+
+    state = mapstate.init_state(cfg)
+    kf_pose = np.asarray(state.kf_pose).copy()
+    kf_pose[:nk] = np.asarray(T_c_w)
+    kf_valid = np.zeros(K, bool)
+    kf_valid[:nk] = True
+    mp_pos = np.asarray(state.mp_pos).copy()
+    mp_pos[:npnt] = np.asarray(points_w)
+    mp_valid = np.zeros(C, bool)
+    mp_valid[:npnt] = True
+    return state._replace(
+        kf_pose=jnp.asarray(kf_pose, jnp.float32),
+        kf_valid=jnp.asarray(kf_valid),
+        kf_timestamp=jnp.asarray(np.arange(K) * kf_dt, jnp.float32),
+        num_kf=jnp.int32(nk),
+        mp_pos=jnp.asarray(mp_pos, jnp.float32),
+        mp_valid=jnp.asarray(mp_valid),
+        obs_kf=jnp.asarray(obs_kf),
+        obs_uv=jnp.asarray(obs_uv),
+        obs_depth=jnp.asarray(obs_depth),
+        obs_valid=jnp.asarray(obs_valid),
+        ref_kf=jnp.int32(nk - 1),
+        prev_pose=jnp.asarray(kf_pose[nk - 1], jnp.float32),
+        fsm=jnp.int32(mapstate.TRACKING),
+    )
+
+
+def _points(n=256, seed=1):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.uniform(-0.8, 0.8, (n, 3)), jnp.float32)
+
+
+def _rot_angle(q):
+    return 2 * np.arccos(np.clip(np.abs(np.asarray(q[..., 0])), 0, 1))
+
+
+def test_coobservation_edges_match_ground_truth():
+    cfg = _cfg()
+    gt_w = _gt_circle_poses()
+    state = _build_state(cfg, gt_w, _points())
+    cam = Camera.from_config(cfg)
+    graph = loopclosure.build_coobservation_graph(state, cam, min_shared=8)
+
+    ei = np.asarray(graph.edge_i)
+    ej = np.asarray(graph.edge_j)
+    assert ei.size > 20  # dense co-observation across the circle
+    assert np.all(ei < ej)  # canonical upper-triangular pairs
+    expected = posegraph.relative_measurement(gt_w[ei], gt_w[ej])
+    err = se3.compose(se3.inverse(expected), graph.edge_meas)
+    assert float(np.max(_rot_angle(se3.quat(err)))) < 2e-3
+    assert float(np.max(np.linalg.norm(np.asarray(se3.trans(err)), axis=-1))) < 5e-3
+
+
+def test_min_shared_filters_weak_pairs():
+    cfg = _cfg()
+    gt_w = _gt_circle_poses()
+    state = _build_state(cfg, gt_w, _points(n=16))  # sparse map
+    cam = Camera.from_config(cfg)
+    dense = loopclosure.build_coobservation_graph(state, cam, min_shared=1)
+    sparse = loopclosure.build_coobservation_graph(state, cam, min_shared=6)
+    assert sparse.edge_i.shape[0] < dense.edge_i.shape[0]
+    cnt, *_ = loopclosure.coobservation_moments(state, cam)
+    cnt = np.asarray(cnt)
+    assert np.all(cnt[np.asarray(sparse.edge_i), np.asarray(sparse.edge_j)] >= 6)
+
+
+def _drift(gt_w, scale=0.06, seed=3):
+    """Cumulative left-multiplicative drift, zero at the first keyframe."""
+    nk = gt_w.shape[0]
+    rng = np.random.default_rng(seed)
+    step = rng.normal(0, scale, (nk, 6)).astype(np.float32)
+    step[0] = 0
+    xi = np.cumsum(step, axis=0)
+    xi[:, :3] *= 0.3  # keep rotational drift moderate
+    return se3.compose(se3.exp(jnp.asarray(xi)), gt_w)
+
+
+def test_relax_map_removes_drift_and_deforms_map():
+    cfg = _cfg()
+    gt_w = _gt_circle_poses()
+    drift_w = _drift(gt_w)
+    pts = _points()
+    # observations are geometrically exact; the POSE ESTIMATES drift, and
+    # the estimated map is what the drifted anchors would triangulate
+    state = _build_state(cfg, gt_w, pts)
+    nk = gt_w.shape[0]
+    K = cfg.max_keyframes
+    kf_pose = np.asarray(state.kf_pose).copy()
+    kf_pose[:nk] = np.asarray(se3.inverse(drift_w))
+    anchor = np.asarray(state.obs_kf[:, 0])
+    npnt = pts.shape[0]
+    delta_est = se3.compose(drift_w, se3.inverse(gt_w))  # gt -> drifted world
+    mp_pos = np.asarray(state.mp_pos).copy()
+    mp_pos[:npnt] = np.asarray(
+        se3.apply(delta_est[np.clip(anchor[:npnt], 0, K - 1)], pts)
+    )
+    state = state._replace(
+        kf_pose=jnp.asarray(kf_pose), mp_pos=jnp.asarray(mp_pos)
+    )
+
+    pre_rmse = float(
+        np.sqrt(np.mean(np.sum(
+            (np.asarray(drift_w)[:nk, 4:7] - np.asarray(gt_w)[:nk, 4:7]) ** 2,
+            axis=-1,
+        )))
+    )
+    new_state, report = globalopt.relax_map(state, cfg, min_shared=8)
+    relaxed_w = se3.inverse(new_state.kf_pose)[:nk]
+    post_rmse = float(
+        np.sqrt(np.mean(np.sum(
+            (np.asarray(relaxed_w)[:, 4:7] - np.asarray(gt_w)[:nk, 4:7]) ** 2,
+            axis=-1,
+        )))
+    )
+    assert pre_rmse > 0.05  # the problem is actually drifted
+    assert post_rmse < pre_rmse * 0.2
+    assert post_rmse < 0.02
+
+    # the map must follow its anchors back toward ground truth
+    mp_err = np.linalg.norm(
+        np.asarray(new_state.mp_pos)[:npnt] - np.asarray(pts), axis=-1
+    )
+    pre_mp_err = np.linalg.norm(mp_pos[:npnt] - np.asarray(pts), axis=-1)
+    assert float(mp_err.mean()) < float(pre_mp_err.mean()) * 0.3
+
+    assert report.num_edges > 20
+    assert report.max_correction_m > 0.05
+    assert report.kf_ts.shape == (nk,)
+
+
+def test_relax_map_noop_without_keyframes():
+    cfg = _cfg()
+    state = mapstate.init_state(cfg)
+    new_state, report = globalopt.relax_map(state, cfg)
+    assert report.num_edges == 0 and report.kf_ts.size == 0
+    np.testing.assert_array_equal(
+        np.asarray(new_state.kf_pose), np.asarray(state.kf_pose)
+    )
+
+
+def test_correct_trajectory_applies_reference_keyframe_delta():
+    rng = np.random.default_rng(7)
+    old_w = se3.exp(jnp.asarray(rng.normal(0, 0.2, (2, 6)), jnp.float32))
+    D = se3.exp(jnp.asarray([0.05, -0.02, 0.1, 0.3, -0.2, 0.4], jnp.float32))
+    new_w = se3.compose(jnp.broadcast_to(D, (2, 7)), old_w)
+    report = globalopt.RelaxReport(
+        2, 0, 1, 0.0, 0.0,
+        kf_ts=np.array([0.0, 1.0]),
+        old_T_w_k=np.asarray(old_w),
+        new_T_w_k=np.asarray(new_w),
+    )
+    frames_w = se3.exp(jnp.asarray(rng.normal(0, 0.2, (3, 6)), jnp.float32))
+    # frames at ts -0.2 (before first KF -> clamps to KF 0), 0.5, 1.5
+    got = globalopt.correct_trajectory(
+        report, np.array([-0.2, 0.5, 1.5]), np.asarray(frames_w)
+    )
+    want = np.asarray(se3.compose(jnp.broadcast_to(D, (3, 7)), frames_w))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_global_relax_on_live_system():
+    """End-to-end: track a synthetic sequence, relax, keep tracking."""
+    from rgbd_visualodometry_tpu.io import synthetic
+    from rgbd_visualodometry_tpu.pipeline.system import VisualOdometry
+
+    cfg = VOConfig(
+        image_width=320, image_height=240,
+        camera_fx=258.6, camera_fy=258.2, camera_cx=159.3, camera_cy=127.6,
+        number_of_features=300, level_pyramid=4,
+        max_keyframes=32, max_mappoints=4096, max_obs_per_mappoint=8,
+        pnp_max_points=512, triangulation_batch=256, ransac_hypotheses=64,
+        ba_max_poses=8, ba_max_points=2048,
+    )
+    scene = synthetic.SyntheticScene(
+        width=320, height=240, fx=258.6, fy=258.2, cx=159.3, cy=127.6
+    )
+    seq = synthetic.generate_sequence(14, scene=scene)
+    vo = VisualOdometry(cfg)
+    results = vo.run((f.rgb, f.depth, f.timestamp) for f in seq)
+    assert all(r.tracked for r in results)
+
+    report = vo.global_relax()
+    assert report.num_edges >= 1
+    # a well-tracked short run needs only a tiny correction
+    assert report.max_correction_m < 0.05
+
+    # the relaxed state must still be a coherent tracking state
+    more = synthetic.generate_sequence(17, scene=scene)[14:]
+    for f in more:
+        res = vo.process(f.rgb, f.depth, f.timestamp)
+        assert res.tracked
+
+    # trajectory correction keeps already-written poses consistent
+    offs = np.asarray([r.timestamp for r in results]) - vo.time_base
+    poses = np.asarray([r.pose_w_c for r in results])
+    corrected = globalopt.correct_trajectory(report, offs, poses)
+    assert np.max(np.linalg.norm(corrected[:, 4:7] - poses[:, 4:7], axis=-1)) < 0.05
