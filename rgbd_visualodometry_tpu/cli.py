@@ -35,6 +35,12 @@ def main(argv=None):
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     ap.add_argument("--save-map", metavar="NPZ", help="checkpoint the final map state")
     ap.add_argument("--load-map", metavar="NPZ", help="resume from a map checkpoint")
+    ap.add_argument(
+        "--localize-only", action="store_true",
+        help="track against the loaded map without modifying it; starts "
+        "kidnapped (LOST) so relocalization finds the initial pose anywhere "
+        "in the map - use with --load-map (net-new vs the reference)",
+    )
     ap.add_argument("--stats", metavar="JSONL", help="write per-frame stats records")
     ap.add_argument(
         "--global-relax", action="store_true",
@@ -58,6 +64,8 @@ def main(argv=None):
         cfg = cfg.replace(output_file=args.output)
     if args.no_backend:
         cfg = cfg.replace(enable_local_optimization=False)
+    if args.localize_only:
+        cfg = cfg.replace(localization_only=True)
 
     gt = None
     if args.synthetic:
@@ -95,8 +103,21 @@ def main(argv=None):
         from rgbd_visualodometry_tpu.io.checkpoint import load_state
 
         state, _, meta = load_state(args.load_map, with_meta=True)
+        if args.localize_only:
+            # kidnapped start: discard the checkpoint's tracking bookkeeping
+            # and let whole-map relocalization find the pose from scratch
+            import jax.numpy as jnp
+
+            from rgbd_visualodometry_tpu.mapstate import LOST as LOST_CODE
+            from rgbd_visualodometry_tpu.ops import se3
+
+            state = state._replace(
+                fsm=jnp.int32(LOST_CODE),
+                lost_count=jnp.int32(0),
+                prev_pose=se3.identity(jnp.float32),
+            )
         vo.state = jax.device_put(state, vo.device)
-        if meta.get("time_base") is not None:
+        if meta.get("time_base") is not None and not args.localize_only:
             vo.time_base = float(meta["time_base"])
     t0 = time.perf_counter()
     results = vo.run(

@@ -176,6 +176,17 @@ class VOConfig:
     enable_relocalization: bool = True
     reloc_min_inliers: int = 30
 
+    # ---- localization-only mode (net-new: track against a frozen map) ----
+    # The map is read-only: no keyframe inserts, no new mappoints, no
+    # triangulation, no BA - the pipeline localizes against a prior map
+    # (typically loaded via io/checkpoint).  Candidates come from the whole
+    # alive map (the covisibility window is keyed to the reference keyframe,
+    # which never advances here), still frustum-filtered per round; the
+    # motion prior advances on every well-tracked frame instead of only on
+    # keyframes.  Start kidnapped (fsm=LOST) to let relocalization find the
+    # initial pose anywhere in the map; requires enable_relocalization.
+    localization_only: bool = False
+
     # ---- fixed capacities of the functional map state ----
     # Sized for whole TUM fr1-class sequences: ~400 keyframes, tens of
     # thousands of live landmarks (outlier slots are recycled).

@@ -287,7 +287,13 @@ def track_compute(cfg: VOConfig, camera, state: VOState, frame: FrameInput) -> T
 
     # ---- coarse + fine pose estimation (masked no-op while INITIALIZING:
     # the empty candidate set makes LM a fixed point of the seed pose) ------
-    tmap = mapstate.tracking_map_mask(state, cfg)
+    # localization-only: the covisibility window is keyed to ref_kf, which
+    # never advances in this mode - candidates are the whole alive map (the
+    # per-round frustum filter still trims them to what the pose can see)
+    if cfg.localization_only:
+        tmap = state.mp_alive
+    else:
+        tmap = mapstate.tracking_map_mask(state, cfg)
     if cfg.packed_matching:
         nn = matching.nearest_keypoints_packed(
             state.mp_desc, feats.desc_bipolar, feats.valid
@@ -327,7 +333,13 @@ def track_compute(cfg: VOConfig, camera, state: VOState, frame: FrameInput) -> T
     is_kf = (
         good & ((rot_norm > cfg.keyframe_rotation) | (trans_norm > cfg.keyframe_translation))
     ) | reloc_good  # a relocalized frame re-anchors the map as a keyframe
-    do_insert = is_init | is_kf
+    if cfg.localization_only:
+        # frozen map: never insert (an INITIALIZING first frame still may -
+        # that is the single-shot "map from one frame, then localize" case)
+        is_kf = jnp.asarray(False)
+        do_insert = is_init
+    else:
+        do_insert = is_init | is_kf
 
     pose_used = jnp.where(is_init, se3.identity(jnp.float32), pose_f)
 
@@ -437,9 +449,12 @@ def apply_updates(cfg: VOConfig, camera, state: VOState, it: TrackInter):
     )
 
     # ---- bookkeeping: framePrev_/keyframeRef_ only advance on keyframes
-    # (frontend.cpp:140-141 runs after the IsKeyframe early-return) ---------
+    # (frontend.cpp:140-141 runs after the IsKeyframe early-return); with a
+    # frozen map there are no keyframes, so the motion prior advances on
+    # every well-tracked frame instead
+    advance = (inserted | it.good) if cfg.localization_only else inserted
     state = state._replace(
-        prev_pose=jnp.where(inserted, pose_used, state.prev_pose),
+        prev_pose=jnp.where(advance, pose_used, state.prev_pose),
         ref_kf=jnp.where(inserted, kf_slot, state.ref_kf),
         fsm=fsm,
         lost_count=lost_count,

@@ -105,3 +105,36 @@ def test_cli_save_and_load_map(tmp_path, tum_dir):
     assert os.path.getsize(ckpt) > 1000
     # resume and continue on the remaining frames
     assert cli.main([cfg_path, "--quiet", "--load-map", ckpt]) == 0
+
+
+def test_cli_localize_only(tmp_path, tum_dir):
+    """Map once, then localize against the frozen map from a kidnapped
+    start (--load-map --localize-only): every frame tracked, map untouched."""
+    from rgbd_visualodometry_tpu import cli
+    from rgbd_visualodometry_tpu.evaltools import absolute_trajectory_error
+    from rgbd_visualodometry_tpu.io.checkpoint import load_state
+    from rgbd_visualodometry_tpu.io.trajectory import read_trajectory
+
+    out = str(tmp_path / "map_run.txt")
+    ckpt = str(tmp_path / "prior_map.npz")
+    cfg_path = small_yaml(tmp_path, str(tum_dir), out)
+    assert cli.main([cfg_path, "--quiet", "--save-map", ckpt]) == 0
+
+    loc_out = str(tmp_path / "loc_run.txt")
+    loc_ckpt = str(tmp_path / "after_loc.npz")
+    rc = cli.main(
+        [cfg_path, "--quiet", "--load-map", ckpt, "--localize-only",
+         "--output", loc_out, "--save-map", loc_ckpt]
+    )
+    assert rc == 0
+    est_ts, est = read_trajectory(loc_out)
+    gt_ts, gt = read_trajectory(str(tum_dir / "groundtruth.txt"))
+    assert len(est_ts) == 8  # relocalized on frame 0, tracked all frames
+    ate = absolute_trajectory_error(est_ts, est[:, 4:7], gt_ts, gt[:, 4:7])
+    assert ate.rmse < 0.02, f"localization ATE {ate.rmse * 100:.2f} cm"
+    # the frozen map came out exactly as it went in
+    before, _ = load_state(ckpt)
+    after, _ = load_state(loc_ckpt)
+    np.testing.assert_array_equal(np.asarray(before.kf_valid), np.asarray(after.kf_valid))
+    np.testing.assert_array_equal(np.asarray(before.mp_valid), np.asarray(after.mp_valid))
+    np.testing.assert_array_equal(np.asarray(before.mp_pos), np.asarray(after.mp_pos))

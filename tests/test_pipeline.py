@@ -125,6 +125,44 @@ def test_relocalization_recovers_from_lost(scene):
     assert err < 0.05, f"reloc pose error {err}"
 
 
+def test_localization_only_frozen_map(scene):
+    """Net-new capability: localization-only mode tracks against a frozen
+    prior map from a kidnapped start (fsm=LOST, no pose prior) and never
+    mutates it - no keyframes, no mappoints, no BA."""
+    import jax.numpy as jnp
+
+    from rgbd_visualodometry_tpu.mapstate import LOST as LOST_CODE
+    from rgbd_visualodometry_tpu.ops import se3
+
+    cfg = small_cfg()
+    seq = synthetic.generate_sequence(15, scene=scene)
+    vo, results = run_sequence(cfg, seq)
+    assert all(r.tracked for r in results)
+    n_kf = int(jnp.sum(vo.state.kf_valid))
+    n_mp = int(jnp.sum(vo.state.mp_valid))
+    num_kf_ctr = int(vo.state.num_kf)
+
+    loc = VisualOdometry(cfg.replace(localization_only=True))
+    # kidnapped start in the prior map (what `rgbd-vo --load-map X
+    # --localize-only` sets up from a checkpoint)
+    loc.state = vo.state._replace(
+        fsm=jnp.int32(LOST_CODE),
+        lost_count=jnp.int32(0),
+        prev_pose=se3.identity(jnp.float32),
+    )
+    sub = seq[5:12]  # re-enter mid-sequence, away from the map origin
+    res = [loc.process(f.rgb, f.depth, f.timestamp) for f in sub]
+    assert res[0].fsm == TRACKING and res[0].tracked  # immediate reloc
+    assert all(r.tracked for r in res)
+    assert not any(r.is_keyframe for r in res)  # frozen map: no keyframes
+    for r, f in zip(res, sub):
+        err = np.linalg.norm(np.asarray(r.pose_c_w[4:]) - f.T_c_w[4:])
+        assert err < 0.05, f"localization pose error {err}"
+    assert int(jnp.sum(loc.state.kf_valid)) == n_kf
+    assert int(jnp.sum(loc.state.mp_valid)) == n_mp
+    assert int(loc.state.num_kf) == num_kf_ctr
+
+
 @pytest.mark.parametrize(
     "fx,fy,cx,cy",
     [
