@@ -146,7 +146,8 @@ def main(argv=None):
                     w.write(r.timestamp, p)
         print(
             f"global relax: {report.num_edges} co-obs edges "
-            f"({report.num_loop_edges} loop, {report.num_chain_edges} chain), "
+            f"({report.num_loop_edges} loop, {report.num_chain_edges} chain, "
+            f"{report.num_appearance_edges} appearance), "
             f"keyframe correction mean|max "
             f"{report.mean_correction_m * 100:.2f}|{report.max_correction_m * 100:.2f} cm"
         )

@@ -2,13 +2,21 @@
 
 Net-new capability beyond the reference (its backend only ever re-solves
 the local covisible window, ``src/backend.cpp:19-195``; a revisit is never
-used to undo accumulated drift).  The key observation: because tracking
-matches every frame against the PERSISTENT map (the reference's
-``trackingMap_`` idea, ``src/mapmanager.cpp:14-38``), a camera revisiting a
-mapped area re-associates the OLD mappoints, and the new keyframe's
-observation rows link it directly to temporally-distant keyframes.  The
-co-observation structure therefore already *contains* the loop closures -
-no separate bag-of-words detector is needed.
+used to undo accumulated drift).  Two complementary detectors:
+
+1. **Co-observation** (:func:`build_coobservation_graph`): because
+   tracking matches every frame against the PERSISTENT map (the
+   reference's ``trackingMap_`` idea, ``src/mapmanager.cpp:14-38``), a
+   camera revisiting a mapped area re-associates the OLD mappoints, and
+   the new keyframe's observation rows link it directly to
+   temporally-distant keyframes - the observation table already
+   *contains* those loop closures.
+2. **Appearance** (:func:`build_appearance_graph`): when the covisibility
+   tracking window excluded the old landmarks during the revisit (long
+   excursion), the frontend duplicates them instead of re-associating and
+   no co-observation edge exists - a bag-of-bits screen + exact
+   mutual-NN Hamming matching + trimmed Horn registration recovers the
+   edge from descriptors alone.
 
 Each observation stores the measured pixel + raw depth
 (``mapstate.VOState.obs_uv/obs_depth``), so two keyframes observing the
@@ -141,6 +149,218 @@ def kabsch_from_moments(cnt, sa, sb, mba) -> jnp.ndarray:
     q = horn_quat_from_crosscov(S)
     t = abar - se3.quat_rotate(q, bbar)
     return se3.make(q, t)
+
+
+def keyframe_feature_table(state, cam, max_features: int = 512):
+    """Per-keyframe local feature sets from the observation table.
+
+    Returns ``(desc [K, F, 8] u32, pts [K, F, 3] f32, valid [K, F])``:
+    each keyframe's depth-valid observations of alive mappoints, carrying
+    the landmark's 256-bit descriptor and the back-projected MEASURED
+    pixel+depth (an independent local 3D measurement in that keyframe's
+    camera frame - not the shared, possibly drifted, map position).
+
+    Host-side packing: this feeds offline loop-closure detection, and the
+    per-keyframe observation counts are data-dependent.
+    """
+    obs_kf = np.asarray(state.obs_kf)  # [C, M]
+    obs_valid = np.asarray(state.obs_valid)
+    obs_depth = np.asarray(state.obs_depth)
+    obs_uv = np.asarray(state.obs_uv)
+    mp_desc = np.asarray(state.mp_desc)
+    alive = np.asarray(state.mp_valid) & ~np.asarray(state.mp_outlier)
+    K = state.kf_pose.shape[0]
+
+    ok = obs_valid & (obs_depth > 0.0) & (obs_kf >= 0) & alive[:, None]
+    c_idx, m_idx = np.nonzero(ok)
+    k_idx = obs_kf[c_idx, m_idx]
+    order = np.argsort(k_idx, kind="stable")
+    c_idx, m_idx, k_idx = c_idx[order], m_idx[order], k_idx[order]
+    starts = np.searchsorted(k_idx, np.arange(K + 1))
+
+    F = int(max_features)
+    desc = np.zeros((K, F, 8), np.uint32)
+    pts = np.zeros((K, F, 3), np.float32)
+    val = np.zeros((K, F), bool)
+    if c_idx.size:
+        p_cam = np.asarray(
+            camera_mod.pixel2camera(
+                cam,
+                jnp.asarray(obs_uv[c_idx, m_idx]),
+                jnp.asarray(obs_depth[c_idx, m_idx]),
+            )
+        )
+        for k in range(K):
+            s, e = int(starts[k]), int(starts[k + 1])
+            n = min(e - s, F)
+            if n == 0:
+                continue
+            desc[k, :n] = mp_desc[c_idx[s : s + n]]
+            pts[k, :n] = p_cam[s : s + n]
+            val[k, :n] = True
+    return desc, pts, val
+
+
+def _bit_histogram(desc: np.ndarray, val: np.ndarray) -> np.ndarray:
+    """[K, 256] mean-bit signature per keyframe (a tiny bag-of-bits global
+    descriptor; enough to rank candidate pairs before exact matching)."""
+    K, F, _ = desc.shape
+    shifts = np.arange(32, dtype=np.uint32)
+    bits = ((desc[..., None] >> shifts) & np.uint32(1)).astype(np.float32)
+    bits = bits.reshape(K, F, 256)
+    cnt = np.maximum(val.sum(axis=1, keepdims=True), 1).astype(np.float32)
+    return (bits * val[..., None]).sum(axis=1) / cnt
+
+
+def _register_pair(di, pi, vi, dj, pj, vj, match_ratio, min_match_distance, inlier_radius):
+    """Mutual-NN Hamming matching + trimmed Horn registration of one
+    keyframe pair's local features.  Returns ``(T_i^-1 T_j, inliers, rms)``.
+
+    Matching keeps the reference's adaptive gate
+    ``max(min_dis * ratio, 30)`` (``src/frontend.cpp:190-211``) plus a
+    mutual-NN requirement (self-similar structure produces asymmetric
+    matches; mutuality is the cheap symmetric filter).
+    """
+    F = di.shape[0]
+    BIG = 1 << 14
+    d = jnp.zeros((F, F), jnp.int32)
+    for w in range(8):  # word-at-a-time keeps the transient at [F, F]
+        d = d + jax.lax.population_count(di[:, None, w] ^ dj[None, :, w]).astype(jnp.int32)
+    d = jnp.where(vi[:, None] & vj[None, :], d, BIG)
+    nn_j = jnp.argmin(d, axis=1)
+    dmin = jnp.min(d, axis=1)
+    nn_i = jnp.argmin(d, axis=0)
+    mutual = jnp.take(nn_i, nn_j) == jnp.arange(F)
+    row_ok = vi & (dmin < BIG)
+    min_dis = jnp.min(jnp.where(row_ok, dmin, BIG)).astype(jnp.float32)
+    gate = dmin.astype(jnp.float32) <= jnp.maximum(
+        min_dis * match_ratio, min_match_distance
+    )
+    m0 = (row_ok & mutual & gate).astype(jnp.float32)
+    a = pi  # [F, 3] in keyframe i's camera frame
+    b = jnp.take(pj, nn_j, axis=0)  # matched partner in keyframe j's frame
+
+    def fit(w):
+        cw = jnp.maximum(jnp.sum(w), 1e-9)
+        abar = jnp.sum(a * w[:, None], axis=0) / cw
+        bbar = jnp.sum(b * w[:, None], axis=0) / cw
+        S = jnp.einsum("n,na,nb->ab", w, b - bbar, a - abar)
+        q = horn_quat_from_crosscov(S)
+        t = abar - se3.quat_rotate(q, bbar)
+        return se3.make(q, t)
+
+    # trimmed IRLS: refit on the survivors of a fixed inlier radius - the
+    # descriptor-NN match set always carries aliased outliers
+    w = m0
+    pose = fit(w)
+    for _ in range(4):
+        r = jnp.linalg.norm(a - se3.apply(pose, b), axis=-1)
+        w = m0 * (r < inlier_radius)
+        pose = fit(w)
+    r = jnp.linalg.norm(a - se3.apply(pose, b), axis=-1)
+    w = m0 * (r < inlier_radius)
+    inl = jnp.sum(w)
+    rms = jnp.sqrt(jnp.sum(w * r * r) / jnp.maximum(inl, 1.0))
+    return pose, inl.astype(jnp.int32), rms
+
+
+_register_pairs = jax.jit(jax.vmap(_register_pair, in_axes=(0, 0, 0, 0, 0, 0, None, None, None)))
+
+
+def build_appearance_graph(
+    state,
+    cam,
+    *,
+    max_features: int = 512,
+    top_per_kf: int = 3,
+    loop_gap_s: float = 5.0,
+    min_features: int = 30,
+    min_inliers: int = 12,
+    inlier_radius: float = 0.10,
+    match_ratio: float = 2.0,
+    min_match_distance: float = 30.0,
+    max_pair_weight: float = 30.0,
+    exclude=(),
+    chunk_pairs: int = 16,
+) -> PoseGraph:
+    """Appearance-based loop-closure edges: descriptor place recognition
+    with no reliance on shared mappoint rows.
+
+    :func:`build_coobservation_graph` only sees a revisit when tracking
+    re-associated the OLD landmarks.  When the covisibility tracking
+    window excluded them (long excursion: the window follows the reference
+    keyframe), the frontend duplicates the landmarks instead and the
+    co-observation graph has no loop edge - exactly the drifted case that
+    needs one.  This detector closes that gap: keyframes are ranked by a
+    bag-of-bits global descriptor, the best temporally-distant candidates
+    are matched exactly (mutual-NN Hamming, reference distance gate), and
+    each match set is registered by trimmed Horn on the two keyframes'
+    INDEPENDENT back-projected measurements.  Aliased candidates die in
+    the trim (``min_inliers``) or later in the pose-graph solver's
+    redescending kernel.
+
+    ``exclude`` takes ``(i, j)`` keyframe-slot pairs (i < j) that already
+    have co-observation edges.
+    """
+    kf_valid = np.asarray(state.kf_valid)
+    ts = np.asarray(state.kf_timestamp).astype(np.float64)
+    desc, pts, val = keyframe_feature_table(state, cam, max_features)
+    counts = val.sum(axis=1)
+    usable = kf_valid & (counts >= int(min_features))
+    if usable.sum() < 2:
+        return empty_graph()
+
+    hist = _bit_histogram(desc, val)
+    hn = hist / np.maximum(np.linalg.norm(hist, axis=1, keepdims=True), 1e-9)
+    sim = hn @ hn.T
+    eligible = (
+        usable[:, None]
+        & usable[None, :]
+        & (np.abs(ts[:, None] - ts[None, :]) > float(loop_gap_s))
+    )
+    sim = np.where(eligible, sim, -np.inf)
+    excl = set(exclude)
+    pairs = set()
+    for k in np.nonzero(usable)[0]:
+        for j in np.argsort(-sim[k])[: int(top_per_kf)]:
+            if not np.isfinite(sim[k, j]):
+                break
+            p = (int(min(k, j)), int(max(k, j)))
+            if p not in excl:
+                pairs.add(p)
+    if not pairs:
+        return empty_graph()
+    pairs = sorted(pairs)
+
+    poses, inls, rmss = [], [], []
+    for s in range(0, len(pairs), int(chunk_pairs)):
+        chunk = pairs[s : s + int(chunk_pairs)]
+        ii = np.asarray([p[0] for p in chunk])
+        jj = np.asarray([p[1] for p in chunk])
+        pose, inl, rms = _register_pairs(
+            jnp.asarray(desc[ii]), jnp.asarray(pts[ii]), jnp.asarray(val[ii]),
+            jnp.asarray(desc[jj]), jnp.asarray(pts[jj]), jnp.asarray(val[jj]),
+            float(match_ratio), float(min_match_distance), float(inlier_radius),
+        )
+        poses.append(np.asarray(pose))
+        inls.append(np.asarray(inl))
+        rmss.append(np.asarray(rms))
+    poses = np.concatenate(poses)
+    inls = np.concatenate(inls)
+    keep = inls >= int(min_inliers)
+    if not keep.any():
+        return empty_graph()
+    ii = np.asarray([p[0] for p in pairs])[keep]
+    jj = np.asarray([p[1] for p in pairs])[keep]
+    return PoseGraph(
+        edge_i=jnp.asarray(ii, jnp.int32),
+        edge_j=jnp.asarray(jj, jnp.int32),
+        edge_meas=jnp.asarray(poses[keep], jnp.float32),
+        edge_weight=jnp.asarray(
+            np.minimum(inls[keep], float(max_pair_weight)), jnp.float32
+        ),
+        edge_valid=jnp.ones((int(keep.sum()),), bool),
+    )
 
 
 def empty_graph() -> PoseGraph:

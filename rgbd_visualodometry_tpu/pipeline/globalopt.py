@@ -50,6 +50,9 @@ class RelaxReport:
     kf_ts: np.ndarray  # [V]
     old_T_w_k: np.ndarray  # [V, 7]
     new_T_w_k: np.ndarray  # [V, 7]
+    # appearance (place-recognition) loop edges for keyframe pairs without
+    # co-observations - duplicated-landmark revisits:
+    num_appearance_edges: int = 0
 
 
 def _noop_report() -> RelaxReport:
@@ -71,6 +74,8 @@ def relax_map(
     num_iterations: int = 12,
     robust_delta: float = 0.05,
     loop_gap_s: float = 5.0,
+    appearance: bool = True,
+    appearance_min_inliers: int = 12,
 ):
     """Relax all keyframe poses against the co-observation graph and
     deform the map accordingly.  Returns ``(new_state, RelaxReport)``.
@@ -108,6 +113,25 @@ def relax_map(
         num_loop = 0
         have = set()
 
+    # appearance edges cover revisits that duplicated landmarks (no shared
+    # observation rows -> invisible to the co-observation graph)
+    num_app = 0
+    if appearance:
+        app = loopclosure.build_appearance_graph(
+            state, cam,
+            loop_gap_s=loop_gap_s,
+            min_inliers=appearance_min_inliers,
+            max_pair_weight=max_pair_weight,
+            exclude=have,
+        )
+        num_app = int(app.edge_i.shape[0])
+        if num_app:
+            ai, aj = np.asarray(app.edge_i), np.asarray(app.edge_j)
+            have |= set(zip(ai.tolist(), aj.tolist()))
+            graph = (
+                posegraph.concat_graphs(graph, app) if num_coobs else app
+            )
+
     chain = []
     for a, b in zip(order[:-1], order[1:]):
         i, j = (int(a), int(b)) if a < b else (int(b), int(a))
@@ -125,7 +149,7 @@ def relax_map(
         )
         graph = (
             posegraph.concat_graphs(graph, chain_graph)
-            if num_coobs
+            if (num_coobs or num_app)
             else chain_graph
         )
     if int(graph.edge_i.shape[0]) == 0:
@@ -185,6 +209,7 @@ def relax_map(
         kf_ts=ts[order],
         old_T_w_k=old_w[order],
         new_T_w_k=new_w[order],
+        num_appearance_edges=num_app,
     )
     return new_state, report
 

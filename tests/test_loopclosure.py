@@ -195,6 +195,131 @@ def test_relax_map_removes_drift_and_deforms_map():
     assert report.kf_ts.shape == (nk,)
 
 
+def _build_duplicated_revisit(cfg, drift_xi=(0.02, -0.03, 0.04, 0.35, -0.25, 0.3)):
+    """Two keyframe clusters observing the SAME physical points through
+    DIFFERENT mappoint rows (descriptors shared) - the duplicated-landmark
+    revisit that the co-observation graph cannot see.  Cluster B's pose
+    estimates carry a rigid drift; observations are exact (true poses).
+
+    Returns ``(state, gt_w [6, 7] cluster poses in order 0,1,2,9,10,11)``.
+    """
+    K, C, M = cfg.max_keyframes, cfg.max_mappoints, cfg.max_obs_per_mappoint
+    gt_w = _gt_circle_poses()
+    kfs_a, kfs_b = [0, 1, 2], [9, 10, 11]
+    n = 100
+    pts = np.asarray(_points(n=n, seed=2))
+    # keep the points inside every cluster camera's view: place them near
+    # the origin (the circle cameras all look at the origin)
+    cam = Camera.from_config(cfg)
+    T_c_w = se3.inverse(gt_w)
+
+    rng = np.random.default_rng(5)
+    desc = rng.integers(0, 2**32, size=(n, 8), dtype=np.uint32)
+
+    obs_kf = np.full((C, M), -1, np.int32)
+    obs_uv = np.zeros((C, M, 2), np.float32)
+    obs_depth = np.zeros((C, M), np.float32)
+    obs_valid = np.zeros((C, M), bool)
+    mp_desc = np.zeros((C, 8), np.uint32)
+    mp_pos = np.zeros((C, 3), np.float32)
+    mp_valid = np.zeros(C, bool)
+    for which, (row0, kfs) in enumerate([(0, kfs_a), (n, kfs_b)]):
+        for c in range(n):
+            row = row0 + c
+            mp_desc[row] = desc[c]
+            mp_pos[row] = pts[c]
+            mp_valid[row] = True
+            for m, k in enumerate(kfs):
+                p_cam = np.asarray(se3.apply(T_c_w[k], jnp.asarray(pts[c])))
+                obs_kf[row, m] = k
+                obs_uv[row, m] = np.asarray(
+                    camera_mod.camera2pixel(cam, jnp.asarray(p_cam))
+                )
+                obs_depth[row, m] = p_cam[2]
+                obs_valid[row, m] = True
+
+    # cluster B pose ESTIMATES drift rigidly; observations stay exact
+    D = se3.exp(jnp.asarray(drift_xi, jnp.float32))
+    est_w = np.asarray(gt_w).copy()
+    for k in kfs_b:
+        est_w[k] = np.asarray(se3.compose(D, gt_w[k]))
+
+    kf_valid = np.zeros(K, bool)
+    kf_valid[kfs_a + kfs_b] = True
+    state = mapstate.init_state(cfg)
+    kf_pose = np.asarray(state.kf_pose).copy()
+    kf_pose[:12] = np.asarray(se3.inverse(jnp.asarray(est_w)))
+    state = state._replace(
+        kf_pose=jnp.asarray(kf_pose, jnp.float32),
+        kf_valid=jnp.asarray(kf_valid),
+        kf_timestamp=jnp.asarray(np.arange(K, dtype=np.float32)),  # 1 s apart
+        num_kf=jnp.int32(12),
+        mp_pos=jnp.asarray(mp_pos),
+        mp_desc=jnp.asarray(mp_desc),
+        mp_valid=jnp.asarray(mp_valid),
+        obs_kf=jnp.asarray(obs_kf),
+        obs_uv=jnp.asarray(obs_uv),
+        obs_depth=jnp.asarray(obs_depth),
+        obs_valid=jnp.asarray(obs_valid),
+        fsm=jnp.int32(mapstate.TRACKING),
+    )
+    return state, gt_w, kfs_a, kfs_b
+
+
+def test_appearance_edges_close_duplicated_revisit():
+    """Descriptor place recognition finds the loop the co-observation
+    graph cannot (no shared rows), with the true relative pose."""
+    cfg = _cfg()
+    state, gt_w, kfs_a, kfs_b = _build_duplicated_revisit(cfg)
+    cam = Camera.from_config(cfg)
+
+    coobs = loopclosure.build_coobservation_graph(state, cam, min_shared=8)
+    ci, cj = np.asarray(coobs.edge_i), np.asarray(coobs.edge_j)
+    cross = (np.isin(ci, kfs_a) & np.isin(cj, kfs_b))
+    assert not cross.any()  # duplicated rows: co-observation is blind
+
+    app = loopclosure.build_appearance_graph(
+        state, cam, loop_gap_s=5.0, min_features=30, min_inliers=12
+    )
+    ai, aj = np.asarray(app.edge_i), np.asarray(app.edge_j)
+    assert ai.size >= 1
+    assert np.all(np.isin(ai, kfs_a) & np.isin(aj, kfs_b))
+    # measurements match the TRUE relative pose (from the exact
+    # observations), not the drifted estimates
+    expected = posegraph.relative_measurement(gt_w[ai], gt_w[aj])
+    err = se3.compose(se3.inverse(expected), app.edge_meas)
+    assert float(np.max(_rot_angle(se3.quat(err)))) < 5e-3
+    assert float(np.max(np.linalg.norm(np.asarray(se3.trans(err)), axis=-1))) < 1e-2
+
+
+def test_relax_map_appearance_removes_revisit_drift():
+    """End-to-end through relax_map: appearance edges pull the drifted
+    revisit cluster back to ground truth; without them nothing can (the
+    odometry chain holds the drifted estimate)."""
+    cfg = _cfg()
+    state, gt_w, kfs_a, kfs_b = _build_duplicated_revisit(cfg)
+    kfs = kfs_a + kfs_b
+    gt = np.asarray(gt_w)
+
+    def rmse(st):
+        w = np.asarray(se3.inverse(st.kf_pose))
+        return float(
+            np.sqrt(np.mean(np.sum((w[kfs, 4:7] - gt[kfs, 4:7]) ** 2, -1)))
+        )
+
+    pre = rmse(state)
+    assert pre > 0.15  # the revisit cluster is genuinely drifted
+
+    no_app, _ = globalopt.relax_map(state, cfg, appearance=False)
+    assert rmse(no_app) > pre * 0.5  # co-observation alone cannot fix it
+
+    fixed, report = globalopt.relax_map(state, cfg, appearance=True)
+    assert report.num_appearance_edges >= 1
+    post = rmse(fixed)
+    assert post < pre * 0.15
+    assert post < 0.03
+
+
 def test_relax_map_noop_without_keyframes():
     cfg = _cfg()
     state = mapstate.init_state(cfg)
