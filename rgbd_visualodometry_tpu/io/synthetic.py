@@ -258,6 +258,24 @@ def orbit_trajectory(n_frames: int, step_t=(0.02, 0.004, 0.0), step_r=(0.0, 0.0,
     return poses
 
 
+def loop_trajectory(n_frames: int, step: float = 0.02):
+    """Ground-truth T_c_w sequence on a CLOSED rectangular circuit parallel
+    to the plane (constant orientation): +x, +y, -x, -y back to the start.
+    The final quarter revisits the first quarter's mapped area - the
+    guaranteed-revisit input for loop-closure tests (the reference has no
+    loop handling at all; ``src/backend.cpp:19-195`` never leaves the local
+    window)."""
+    per = max(n_frames // 4, 1)
+    dirs = [(step, 0.0), (0.0, step), (-step, 0.0), (0.0, -step)]
+    poses, x, y = [], 0.0, 0.0
+    for i in range(n_frames):
+        poses.append(make_pose([0.0, 0.0, 0.0], [x, y, 0.0]))
+        dx, dy = dirs[min(i // per, 3)]
+        x += dx
+        y += dy
+    return poses
+
+
 def generate_sequence(n_frames: int, fps: float = 30.0, scene: SyntheticScene | None = None, **traj_kw):
     scene = scene or SyntheticScene()
     frames = []

@@ -203,13 +203,18 @@ def keyframe_feature_table(state, cam, max_features: int = 512):
 
 def _bit_histogram(desc: np.ndarray, val: np.ndarray) -> np.ndarray:
     """[K, 256] mean-bit signature per keyframe (a tiny bag-of-bits global
-    descriptor; enough to rank candidate pairs before exact matching)."""
-    K, F, _ = desc.shape
+    descriptor; enough to rank candidate pairs before exact matching).
+    Word-at-a-time so the transient stays [K, F, 32], not [K, F, 256]
+    float32 (~268 MB at K=F=512)."""
+    K, F, W = desc.shape
+    out = np.zeros((K, W * 32), np.float32)
     shifts = np.arange(32, dtype=np.uint32)
-    bits = ((desc[..., None] >> shifts) & np.uint32(1)).astype(np.float32)
-    bits = bits.reshape(K, F, 256)
+    vf = val.astype(np.float32)
+    for w in range(W):
+        bits = ((desc[:, :, w, None] >> shifts) & np.uint32(1)).astype(np.float32)
+        out[:, w * 32 : (w + 1) * 32] = np.einsum("kf,kfb->kb", vf, bits)
     cnt = np.maximum(val.sum(axis=1, keepdims=True), 1).astype(np.float32)
-    return (bits * val[..., None]).sum(axis=1) / cnt
+    return out / cnt
 
 
 def _register_pair(di, pi, vi, dj, pj, vj, match_ratio, min_match_distance, inlier_radius):

@@ -9,7 +9,10 @@ user-facing operation on a live ``VOState``:
    from every keyframe pair sharing depth-valid observations (revisits
    included, because tracking re-associates old mappoints from the
    persistent map);
-2. ``ops/posegraph.optimize_pose_graph`` - robust damped Gauss-Newton on
+2. ``ops/loopclosure.build_appearance_graph`` (``appearance=True``) -
+   place-recognition edges for revisits that DUPLICATED landmarks
+   instead of re-associating (no shared rows: invisible to 1.);
+3. ``ops/posegraph.optimize_pose_graph`` - robust damped Gauss-Newton on
    the whole keyframe graph.
 
 After relaxation the map deforms rigidly with its anchors: every mappoint

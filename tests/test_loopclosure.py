@@ -350,6 +350,55 @@ def test_correct_trajectory_applies_reference_keyframe_delta():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_loop_trajectory_revisit_closes_loop():
+    """End-to-end on a CLOSED circuit: the final leg revisits the first
+    leg's map, the co-observation graph contains long-gap loop edges, and
+    the relaxed/corrected trajectory stays at least as good vs ground
+    truth."""
+    from rgbd_visualodometry_tpu.evaltools import absolute_trajectory_error
+    from rgbd_visualodometry_tpu.io import synthetic
+    from rgbd_visualodometry_tpu.pipeline.system import VisualOdometry
+
+    cfg = VOConfig(
+        image_width=320, image_height=240,
+        camera_fx=258.6, camera_fy=258.2, camera_cx=159.3, camera_cy=127.6,
+        number_of_features=300, level_pyramid=4,
+        max_keyframes=32, max_mappoints=4096, max_obs_per_mappoint=8,
+        pnp_max_points=512, triangulation_batch=256, ransac_hypotheses=64,
+        ba_max_poses=8, ba_max_points=2048,
+    )
+    scene = synthetic.SyntheticScene(
+        width=320, height=240, fx=258.6, fy=258.2, cx=159.3, cy=127.6
+    )
+    poses = synthetic.loop_trajectory(56, step=0.025)
+    frames = [scene.render(T, timestamp=i / 30.0) for i, T in enumerate(poses)]
+    vo = VisualOdometry(cfg)
+    results = vo.run((f.rgb, f.depth, f.timestamp) for f in frames)
+    assert all(r.tracked for r in results)
+
+    report = vo.global_relax(loop_gap_s=1.0)
+    assert report.num_loop_edges >= 1  # the revisit closed the loop
+
+    gt_ts = np.asarray([f.timestamp for f in frames])
+    gt_xyz = np.asarray(
+        [synthetic._pose_inverse(f.T_c_w)[4:7] for f in frames]
+    )
+    est_ts = np.asarray([r.timestamp for r in results])
+    est = np.asarray([r.pose_w_c for r in results])
+    before = absolute_trajectory_error(est_ts, est[:, 4:7], gt_ts, gt_xyz)
+    corrected = globalopt.correct_trajectory(
+        report, est_ts - vo.time_base, est
+    )
+    after = absolute_trajectory_error(
+        est_ts, corrected[:, 4:7], gt_ts, gt_xyz
+    )
+    assert after.rmse <= before.rmse * 1.2 + 1e-4
+    # the loop stays closed after correction: end-to-start gap is no worse
+    gap = np.linalg.norm(corrected[-1, 4:7] - corrected[0, 4:7])
+    gt_gap = np.linalg.norm(gt_xyz[-1] - gt_xyz[0])
+    assert abs(gap - gt_gap) < 0.05
+
+
 def test_global_relax_on_live_system():
     """End-to-end: track a synthetic sequence, relax, keep tracking."""
     from rgbd_visualodometry_tpu.io import synthetic
