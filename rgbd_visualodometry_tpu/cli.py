@@ -131,6 +131,8 @@ def main(argv=None):
         from rgbd_visualodometry_tpu.pipeline import globalopt
 
         report = vo.global_relax()
+        # re-export the 3D HTML map with the relaxed poses + loop edges
+        vo.export_map_html(edges=report.loop_pairs_w)
         # rewrite with the same frame set run() streamed out
         keep = [
             r for r in results

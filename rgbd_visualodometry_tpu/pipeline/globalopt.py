@@ -56,6 +56,10 @@ class RelaxReport:
     # appearance (place-recognition) loop edges for keyframe pairs without
     # co-observations - duplicated-landmark revisits:
     num_appearance_edges: int = 0
+    # [E, 2, 3] post-relax world camera centers of the loop constraints
+    # (co-obs pairs spanning > loop_gap_s + appearance pairs) - render with
+    # MapViewer.export_html(edges=...)
+    loop_pairs_w: np.ndarray = None
 
 
 def _noop_report() -> RelaxReport:
@@ -64,6 +68,7 @@ def _noop_report() -> RelaxReport:
         np.zeros((0,), np.float64),
         np.zeros((0, 7), np.float32),
         np.zeros((0, 7), np.float32),
+        loop_pairs_w=np.zeros((0, 2, 3), np.float32),
     )
 
 
@@ -108,9 +113,12 @@ def relax_map(
     order = slots[np.argsort(ts[slots], kind="stable")]
 
     num_coobs = int(graph.edge_i.shape[0])
+    loop_ij: list = []
     if num_coobs:
         gi, gj = np.asarray(graph.edge_i), np.asarray(graph.edge_j)
-        num_loop = int(np.sum(np.abs(ts[gi] - ts[gj]) > loop_gap_s))
+        is_loop = np.abs(ts[gi] - ts[gj]) > loop_gap_s
+        num_loop = int(np.sum(is_loop))
+        loop_ij += list(zip(gi[is_loop].tolist(), gj[is_loop].tolist()))
         have = set(zip(gi.tolist(), gj.tolist()))
     else:
         num_loop = 0
@@ -130,6 +138,7 @@ def relax_map(
         num_app = int(app.edge_i.shape[0])
         if num_app:
             ai, aj = np.asarray(app.edge_i), np.asarray(app.edge_j)
+            loop_ij += list(zip(ai.tolist(), aj.tolist()))
             have |= set(zip(ai.tolist(), aj.tolist()))
             graph = (
                 posegraph.concat_graphs(graph, app) if num_coobs else app
@@ -203,6 +212,12 @@ def relax_map(
     old_w = np.asarray(poses_w)
     new_w = np.asarray(relaxed_w)
     shift = np.linalg.norm(new_w[slots, 4:7] - old_w[slots, 4:7], axis=1)
+    if loop_ij:
+        li = np.asarray([p[0] for p in loop_ij])
+        lj = np.asarray([p[1] for p in loop_ij])
+        loop_pairs = np.stack([new_w[li, 4:7], new_w[lj, 4:7]], axis=1)
+    else:
+        loop_pairs = np.zeros((0, 2, 3), np.float32)
     report = RelaxReport(
         num_edges=num_coobs,
         num_loop_edges=num_loop,
@@ -213,6 +228,7 @@ def relax_map(
         old_T_w_k=old_w[order],
         new_T_w_k=new_w[order],
         num_appearance_edges=num_app,
+        loop_pairs_w=loop_pairs,
     )
     return new_state, report
 

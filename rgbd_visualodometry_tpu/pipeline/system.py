@@ -306,11 +306,21 @@ class VisualOdometry:
             if self._viewer is not None:
                 # final INTERACTIVE 3D map (orbit/zoom in a browser) - the
                 # headless stand-in for the reference's live Pangolin window
-                traj = np.asarray(
-                    [r.pose_w_c[4:7] for r in self.results if r.tracked]
-                )
-                self._viewer.export_html(self.map_snapshot(), trajectory=traj)
+                self.export_map_html()
         return self.results
+
+    def export_map_html(self, edges=None, name: str = "map.html"):
+        """(Re-)export the interactive 3D HTML map, optionally with loop
+        constraint segments (``RelaxReport.loop_pairs_w``) drawn in green.
+        No-op unless the viewer is enabled."""
+        if self._viewer is None:
+            return None
+        traj = np.asarray(
+            [r.pose_w_c[4:7] for r in self.results if r.tracked]
+        )
+        return self._viewer.export_html(
+            self.map_snapshot(), trajectory=traj, edges=edges, name=name
+        )
 
     def global_relax(self, **kwargs):
         """Offline loop-closure relaxation of the whole map (net-new vs

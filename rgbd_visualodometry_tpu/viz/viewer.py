@@ -101,6 +101,7 @@ class MapViewer:
         snapshot: dict,
         trajectory: np.ndarray | None = None,
         name: str = "map.html",
+        edges: np.ndarray | None = None,
     ) -> str:
         """Write a self-contained INTERACTIVE 3D map viewer (orbit / zoom /
         pan with the mouse) - the headless counterpart of the reference's
@@ -108,6 +109,9 @@ class MapViewer:
         camera frusta + trajectory in a rotatable GL view).  Pure
         canvas-2D JavaScript with an embedded JSON snapshot; no network,
         no external libraries - open the file in any browser.
+
+        ``edges`` ([E, 2, 3] world segments, e.g. loop-closure constraints
+        from ``globalopt.RelaxReport.loop_pairs_w``) render as green lines.
         """
         pts = np.asarray(snapshot["mappoints"], np.float32).reshape(-1, 3)
         if len(pts) > 60000:  # keep the file and the draw loop snappy
@@ -138,9 +142,15 @@ class MapViewer:
         def _arr(a):
             return _json.dumps(np.round(a, 4).flatten().tolist())
 
+        seg = (
+            np.asarray(edges, np.float32).reshape(-1, 6)
+            if edges is not None and len(edges)
+            else np.zeros((0, 6), np.float32)
+        )
         html = _HTML_VIEWER_TEMPLATE % {
             "pts": _arr(pts), "traj": _arr(traj), "frusta": _arr(frusta),
-            "n_pts": len(pts), "n_kf": len(kf),
+            "edges": _arr(seg),
+            "n_pts": len(pts), "n_kf": len(kf), "n_edges": len(seg),
         }
         path = os.path.join(self.out_dir, name)
         with open(path, "w", encoding="utf-8") as f:
@@ -196,7 +206,7 @@ _HTML_VIEWER_TEMPLATE = """<!DOCTYPE html>
  #hud{position:fixed;top:8px;left:10px;pointer-events:none;opacity:.85}
  canvas{display:block;cursor:grab}
 </style></head><body>
-<div id="hud">map: %(n_pts)d points, %(n_kf)d keyframes &mdash;
+<div id="hud">map: %(n_pts)d points, %(n_kf)d keyframes, %(n_edges)d loop edges &mdash;
  drag = orbit &middot; wheel = zoom &middot; shift-drag = pan</div>
 <canvas id="c"></canvas>
 <script>
@@ -205,6 +215,7 @@ _HTML_VIEWER_TEMPLATE = """<!DOCTYPE html>
 const PTS = new Float32Array(%(pts)s);
 const TRAJ = new Float32Array(%(traj)s);
 const FRUSTA = new Float32Array(%(frusta)s); // [cx,cy,cz, fx,fy,fz] per kf
+const EDGES = new Float32Array(%(edges)s); // [ax,ay,az, bx,by,bz] loop edges
 const cv = document.getElementById("c"), ctx = cv.getContext("2d");
 let W, H; function resize(){W=cv.width=innerWidth;H=cv.height=innerHeight;draw();}
 addEventListener("resize", resize);
@@ -262,6 +273,16 @@ function draw(){
       if(started) ctx.lineTo(s[0],s[1]); else {ctx.moveTo(s[0],s[1]); started=true;}
     }
     ctx.stroke();
+  }
+  // loop-closure constraint edges (green chords between keyframe centers)
+  if (EDGES.length>=6){
+    ctx.strokeStyle="#69f0ae"; ctx.lineWidth=1.2;
+    for (let i=0;i<EDGES.length;i+=6){
+      const a=project([EDGES[i],EDGES[i+1],EDGES[i+2]],B);
+      const b=project([EDGES[i+3],EDGES[i+4],EDGES[i+5]],B);
+      if(!a||!b) continue;
+      ctx.beginPath(); ctx.moveTo(a[0],a[1]); ctx.lineTo(b[0],b[1]); ctx.stroke();
+    }
   }
   // keyframe frusta: short wedge along each camera's forward axis
   ctx.strokeStyle="#64b5f6"; ctx.lineWidth=1;

@@ -149,13 +149,18 @@ def test_export_html_embeds_map_data(tmp_path):
         num_keyframes=1,
     )
     viewer = MapViewer(str(tmp_path))
-    path = viewer.export_html(snap, trajectory=np.zeros((7, 3), "float32"))
+    edges = np.asarray([[[0.0, 0.0, 0.0], [1.0, 2.0, 3.0]]], "float32")
+    path = viewer.export_html(
+        snap, trajectory=np.zeros((7, 3), "float32"), edges=edges
+    )
     html = open(path).read()
-    assert "map: 500 points, 1 keyframes" in html
-    assert html.count("new Float32Array") == 3
+    assert "map: 500 points, 1 keyframes, 1 loop edges" in html
+    assert html.count("new Float32Array") == 4
     assert "http" not in html.split("<script>")[1]  # no external fetches
     # frustum record = camera center (-R^T t = -t for identity) + fwd axis
     assert "-0.5" in html and "-0.25" in html
+    # the loop segment endpoints are embedded
+    assert "1.0, 2.0, 3.0" in html or "1, 2, 3" in html.replace(".0", "")
 
 
 def test_epoch_timestamps_stay_precise(tmp_path):
