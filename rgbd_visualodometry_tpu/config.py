@@ -176,6 +176,17 @@ class VOConfig:
     enable_relocalization: bool = True
     reloc_min_inliers: int = 30
 
+    # ---- online loop closure (net-new: the reference never leaves the
+    #      local BA window) ----
+    # Every N keyframes the run loop relaxes ALL keyframes against the
+    # loop-closure pose graph (co-observation + appearance edges) and
+    # deforms the map with them - globalopt.relax_map called live, which
+    # is safe mid-run (the tracking reference moves with its keyframe).
+    # The relaxation synchronizes the host on the current state, so it
+    # trades per-frame latency for global consistency.  0 = off (default;
+    # --global-relax still relaxes once offline after the run).
+    relax_every_kf: int = 0
+
     # ---- localization-only mode (net-new: track against a frozen map) ----
     # The map is read-only: no keyframe inserts, no new mappoints, no
     # triangulation, no BA - the pipeline localizes against a prior map

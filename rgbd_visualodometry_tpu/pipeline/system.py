@@ -94,6 +94,7 @@ class VisualOdometry:
         # / trajectories keep the absolute float64 value.
         self.time_base: Optional[float] = None
         self.results: list[FrameResult] = []
+        self.num_auto_relaxes = 0  # online loop closures (relax_every_kf)
         self._pending: collections.deque = collections.deque()
         self._frames_since_ba = 1 << 30
         # live viewer (the reference's render thread, viewer.cpp:34-54):
@@ -291,10 +292,29 @@ class VisualOdometry:
         # relocalization enabled we keep feeding frames so the tracker can
         # re-enter TRACKING from the map
         stop_on_lost = not self.cfg.enable_relocalization
+        # online loop closure: relax the whole keyframe graph every N
+        # keyframes (relax_every_kf > 0); poses streamed to the trajectory
+        # file BEFORE a relaxation keep their pre-relax values - rewrite
+        # offline with globalopt.correct_trajectory if needed
+        auto_n = int(self.cfg.relax_every_kf or 0)
+        kf_at_last_relax = 0
         try:
             for rgb, depth, ts in frames:
                 self.process_async(rgb, depth, ts)
                 flush(lag)
+                if auto_n:
+                    kf_seen = sum(int(r.is_keyframe) for r in self.results)
+                    if kf_seen - kf_at_last_relax >= auto_n:
+                        kf_at_last_relax = kf_seen
+                        rep = self.global_relax()
+                        self.num_auto_relaxes += 1
+                        if verbose:
+                            print(
+                                f"auto relax #{self.num_auto_relaxes}: "
+                                f"{rep.num_loop_edges} loop + "
+                                f"{rep.num_appearance_edges} appearance edges, "
+                                f"max correction {rep.max_correction_m * 100:.2f} cm"
+                            )
                 if stop_on_lost and self.lost:
                     break
             flush(0)

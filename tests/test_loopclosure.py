@@ -399,6 +399,38 @@ def test_loop_trajectory_revisit_closes_loop():
     assert abs(gap - gt_gap) < 0.05
 
 
+def test_online_auto_relax_keeps_tracking():
+    """relax_every_kf: the run loop relaxes the whole keyframe graph
+    mid-run (online loop closure) and tracking continues coherently."""
+    from rgbd_visualodometry_tpu.evaltools import absolute_trajectory_error
+    from rgbd_visualodometry_tpu.io import synthetic
+    from rgbd_visualodometry_tpu.pipeline.system import VisualOdometry
+
+    cfg = VOConfig(
+        image_width=320, image_height=240,
+        camera_fx=258.6, camera_fy=258.2, camera_cx=159.3, camera_cy=127.6,
+        number_of_features=300, level_pyramid=4,
+        max_keyframes=32, max_mappoints=4096, max_obs_per_mappoint=8,
+        pnp_max_points=512, triangulation_batch=256, ransac_hypotheses=64,
+        ba_max_poses=8, ba_max_points=2048,
+        relax_every_kf=4,
+    )
+    scene = synthetic.SyntheticScene(
+        width=320, height=240, fx=258.6, fy=258.2, cx=159.3, cy=127.6
+    )
+    seq = synthetic.generate_sequence(20, scene=scene)
+    vo = VisualOdometry(cfg)
+    results = vo.run((f.rgb, f.depth, f.timestamp) for f in seq)
+    assert all(r.tracked for r in results)
+    assert vo.num_auto_relaxes >= 1  # it actually relaxed mid-run
+    est_ts = np.asarray([r.timestamp for r in results])
+    est = np.asarray([r.pose_w_c[4:7] for r in results])
+    gt_ts = np.asarray([f.timestamp for f in seq])
+    gt = np.asarray([synthetic._pose_inverse(f.T_c_w)[4:7] for f in seq])
+    ate = absolute_trajectory_error(est_ts, est, gt_ts, gt)
+    assert ate.rmse < 0.02, f"ATE {ate.rmse * 100:.2f} cm"
+
+
 def test_global_relax_on_live_system():
     """End-to-end: track a synthetic sequence, relax, keep tracking."""
     from rgbd_visualodometry_tpu.io import synthetic
