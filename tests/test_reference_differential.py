@@ -144,10 +144,31 @@ def test_ate_scale_matches_reference_tool(tmp_path):
     assert abs(ref["absolute_translational_error.rmse"] - res.rmse) <= PRINT_TOL
 
 
-# only "s" and "f" deltas: the reference script's distance/rotation index
-# helpers call dict_keys.sort() and crash under python3
-# (evaluate_rpe.py:157-162), so "m"/"rad"/"deg" cannot run as oracles
-@pytest.mark.parametrize("unit,delta", [("s", 1.0), ("f", 5.0)])
+def _rpe_script_py3(tmp_path) -> str:
+    """Path to a python3-runnable copy of the reference's evaluate_rpe.py.
+
+    The script is py2: ``distances_along_trajectory`` /
+    ``rotations_along_trajectory`` call ``dict_keys.sort()``
+    (``tools/evaluate_rpe.py:179-180,193-194``), which crashes under py3 and
+    blocks the "m"/"rad"/"deg" delta units.  This pins exactly those two
+    crashing lines (``keys.sort()`` -> ``keys = sorted(keys)``) and changes
+    nothing else, so the copy remains a faithful oracle.
+    """
+    src = open(os.path.join(REF_TOOLS, "evaluate_rpe.py")).read()
+    assert src.count("    keys.sort()") == 2
+    patched = src.replace("    keys.sort()", "    keys = sorted(keys)")
+    out = str(tmp_path / "evaluate_rpe_py3.py")
+    with open(out, "w") as f:
+        f.write(patched)
+    return out
+
+
+# all five delta units of evaluate_rpe.py:243-252; "m"/"rad"/"deg" run the
+# py3-pinned copy (see _rpe_script_py3), "s"/"f" run the pristine script
+@pytest.mark.parametrize(
+    "unit,delta",
+    [("s", 1.0), ("f", 5.0), ("m", 0.3), ("rad", 0.5), ("deg", 25.0)],
+)
 def test_rpe_fixed_delta_matches_reference_tool(tmp_path, unit, delta):
     gt_ts, gt = _traj(5, n=90)
     est = gt.copy()
@@ -157,9 +178,12 @@ def test_rpe_fixed_delta_matches_reference_tool(tmp_path, unit, delta):
     _write(gt_f, gt_ts, gt)
     _write(est_f, gt_ts, est)
 
+    script = (
+        "evaluate_rpe.py" if unit in ("s", "f") else _rpe_script_py3(tmp_path)
+    )
     ref = _parse_stats(
         _run_ref(
-            "evaluate_rpe.py", gt_f, est_f, "--fixed_delta",
+            script, gt_f, est_f, "--fixed_delta",
             "--delta", str(delta), "--delta_unit", unit, "--verbose",
         )
     )
