@@ -1,7 +1,8 @@
 """Benchmark driver: full-resolution VO tracking throughput on one chip.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N,
+     "best": N, "median": N, "passes": N}
 
 Protocol (north star in BASELINE.md): TUM fr1/xyz-class workload -
 640x480 RGB-D @ fr1 intrinsics, 500 ORB features over 8 pyramid levels,
@@ -9,12 +10,22 @@ full tracking pipeline (extract -> coarse/fine match+RANSAC+LM -> keyframe /
 map management) with local BA dispatched per keyframe, exactly what
 ``run_vo`` times per frame at ``app/run_vo.cpp:104-109``.
 
+Sampling protocol (round-4 de-bias, VERDICT r3 weak 3 / ADVICE r3): every
+phase runs a FIXED number of independent passes (fresh VO instance each),
+each pass measuring 3 windows.  The published ``value`` is the MEDIAN of
+the per-pass best-window FPS - result-independent, so tunnel load variance
+widens the spread instead of inflating the headline; the per-pass best
+window (rather than per-pass mean) is used because a load spike inside one
+window is contention, not compute.  ``best`` (the old best-of-all-windows
+number) is reported alongside for comparison with earlier rounds, and every
+window of every pass is appended to ``benchmarks/bench_windows.jsonl``.
+
 Two phases:
 1. single-stream production loop (async enqueue + lagged drain),
 2. batched multi-stream mode (BASELINE config 5): S independent VO streams
    vmapped on the one chip - the deployment shape for throughput - counted
    as aggregate frames/sec/chip.
-The headline value is the better of the two (both are fr1-class frames
+The headline value is the better of the phases (all are fr1-class frames
 fully tracked per chip second).
 
 The TUM dataset cannot be downloaded in this environment (no egress), so
@@ -22,7 +33,7 @@ frames come from the synthetic renderer at identical resolution/intrinsics
 and comparable feature density, moving at fr1/xyz-like speed.  The
 ``vs_baseline`` divisor is MEASURED: ``baseline/opencv_vo.py`` re-implements
 the reference pipeline on the same OpenCV kernels it calls (ORB, FLANN-LSH,
-solvePnPRansac P3P) plus numpy twins of its g2o solvers, and was run on the
+solvePnPRansac P3P) plus twins of its g2o solvers, and was run on the
 identical synthetic sequence on this host (results in
 ``baseline/measured.json``; full-VO and frontend-only numbers are kept
 separate so each bench phase divides by the matching workload).
@@ -30,21 +41,21 @@ separate so each bench phase divides by the matching workload).
 
 import json
 import os
+import statistics
 import sys
 import time
 
 import numpy as np
 
-_MEASURED = json.load(
-    open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "baseline", "measured.json"))
-)
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_MEASURED = json.load(open(os.path.join(_HERE, "baseline", "measured.json")))
 BASELINE_FPS_FULL_VO = _MEASURED["full_vo"]["fps_mean"]
 BASELINE_FPS_FRONTEND = _MEASURED["frontend_only"]["fps_mean"]
 WARMUP_FRAMES = 12
 MEASURE_FRAMES = 60
 # multistream batches are staged in HBM up front; at 64 streams the full
 # 72-batch sequence alone is ~7 GB, so the batched phases use shorter
-# measurement windows (3 x 12 steps, still best-of-3)
+# measurement windows (3 x 12 steps)
 MS_MEASURE_FRAMES = 36
 # multi-stream phase: ascending sizes, reliable first.  The round-1
 # batch>=3 runtime fault is fixed (track step split into two chained
@@ -59,7 +70,42 @@ STREAM_CASCADE = (8, 32)
 # bipolar pool from per-stream map state (80 streams fit too but run slower
 # - measured 57.2x vs 72's 58.6x before the tri128/hyp64 knobs).
 FULL_VO_CASCADE = (72, 64)
+# fixed pass counts (result-independent - see module docstring)
+PASSES_HEADLINE = 5
+PASSES_SECONDARY = 2
 
+WINDOW_LOG = os.path.join(_HERE, "benchmarks", "bench_windows.jsonl")
+
+
+def _log_windows(phase: str, windows):
+    """Append every measured window of every pass to the public log."""
+    try:
+        os.makedirs(os.path.dirname(WINDOW_LOG), exist_ok=True)
+        with open(WINDOW_LOG, "a", encoding="utf-8") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "time": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                        "phase": phase,
+                        "windows_fps": [[round(w, 2) for w in p] for p in windows],
+                    }
+                )
+                + "\n"
+            )
+    except OSError:
+        pass  # logging must never fail the bench
+
+
+def _summarize(phase: str, windows) -> dict:
+    """windows = [[fps per window] per pass] -> headline stats."""
+    _log_windows(phase, windows)
+    per_pass = [max(p) for p in windows]
+    return {
+        "median": float(statistics.median(per_pass)),
+        "best": float(max(per_pass)),
+        "passes": len(per_pass),
+        "windows": windows,
+    }
 
 
 def _make_frames(cfg, n, seed=0):
@@ -75,40 +121,67 @@ def _make_frames(cfg, n, seed=0):
     )
 
 
-def bench_single(cfg) -> float:
+def single_stream_cfg(cfg):
+    """The EXACT config the single-stream bench phase runs (exported so
+    tests/test_contract_parity.py asserts the ATE parity contract under the
+    same settings that produce the single-stream number).
+
+    Rationale: the default capacities are sized for arbitrarily long runs
+    (64k mappoints); every [C]- or [ba_max_points]-shaped op pays for that
+    padding on every frame.  The production single-stream preset sizes the
+    pools to the fr1-class deployment (the measured baseline creates ~10k
+    mappoints over 240 frames; ring eviction covers longer runs) - the same
+    capacities the multistream phase already runs accuracy-asserted."""
+    return cfg.replace(
+        max_mappoints=16384, max_keyframes=128, max_obs_per_mappoint=8,
+        ba_max_points=1024, ba_max_poses=8,
+        pnp_max_points=512,
+        triangulation_batch=128,
+        ransac_hypotheses=64,
+    )
+
+
+def bench_single(cfg, repeats: int = PASSES_HEADLINE) -> dict:
     import jax
 
     from rgbd_visualodometry_tpu.pipeline.system import VisualOdometry
 
-    # 3 measurement windows, best one reported: the TPU in this environment
-    # sits behind a shared tunnel with visible load variance
-    seq = _make_frames(cfg, WARMUP_FRAMES + 3 * MEASURE_FRAMES)
-    vo = VisualOdometry(cfg)
-    # stage all frames in HBM before timing: the reference's per-frame timer
-    # likewise excludes image loading (imread sits outside the boost::timer
-    # window, app/run_vo.cpp:91-109) - tracking throughput is the metric,
-    # and the tunnel this TPU sits behind must not masquerade as compute
-    staged = [(vo.put_frame(f.rgb, f.depth, f.timestamp), f.timestamp) for f in seq]
-    jax.block_until_ready([s for s, _ in staged])
-    for f, ts in staged[:WARMUP_FRAMES]:
-        vo.process_async(f, timestamp=ts)
-    vo.drain(0)
-    jax.block_until_ready(vo.state)
-
-    best = 0.0
-    for window in range(3):
-        lo = WARMUP_FRAMES + window * MEASURE_FRAMES
-        t0 = time.perf_counter()
-        for f, ts in staged[lo : lo + MEASURE_FRAMES]:
+    scfg = single_stream_cfg(cfg)
+    seq = _make_frames(scfg, WARMUP_FRAMES + 3 * MEASURE_FRAMES)
+    windows = []
+    staged = None
+    for _ in range(max(1, repeats)):
+        vo = VisualOdometry(scfg)
+        # stage all frames in HBM before timing: the reference's per-frame
+        # timer likewise excludes image loading (imread sits outside the
+        # boost::timer window, app/run_vo.cpp:91-109) - tracking throughput
+        # is the metric, and the tunnel this TPU sits behind must not
+        # masquerade as compute
+        if staged is None:
+            staged = [
+                (vo.put_frame(f.rgb, f.depth, f.timestamp), f.timestamp)
+                for f in seq
+            ]
+            jax.block_until_ready([s for s, _ in staged])
+        for f, ts in staged[:WARMUP_FRAMES]:
             vo.process_async(f, timestamp=ts)
-            vo.drain(6)
         vo.drain(0)
         jax.block_until_ready(vo.state)
-        best = max(best, MEASURE_FRAMES / (time.perf_counter() - t0))
 
-    tracked = sum(r.tracked for r in vo.results)
-    assert tracked == len(seq), f"tracking failed: {tracked}/{len(seq)}"
-    return best
+        pass_windows = []
+        for window in range(3):
+            lo = WARMUP_FRAMES + window * MEASURE_FRAMES
+            t0 = time.perf_counter()
+            for f, ts in staged[lo : lo + MEASURE_FRAMES]:
+                vo.process_async(f, timestamp=ts)
+                vo.drain(6)
+            vo.drain(0)
+            jax.block_until_ready(vo.state)
+            pass_windows.append(MEASURE_FRAMES / (time.perf_counter() - t0))
+        tracked = sum(r.tracked for r in vo.results)
+        assert tracked == len(seq), f"tracking failed: {tracked}/{len(seq)}"
+        windows.append(pass_windows)
+    return _summarize("single-stream full VO", windows)
 
 
 def multistream_cfg(cfg, full_vo: bool = False):
@@ -159,27 +232,18 @@ def bench_multistream(
     cfg,
     n_streams: int | None = None,
     full_vo: bool = False,
-    repeats: int = 1,
-    max_repeats: int | None = None,
-    settle_fps: float = 0.0,
-) -> float:
+    repeats: int = PASSES_SECONDARY,
+) -> dict:
     """S independent streams vmapped on one chip (map capacities scaled down
     to fit S maps in HBM).  ``full_vo=True`` runs per-stream local BA
     (pred-masked vmapped ba_step) - the same workload as the measured
     baseline's enable_local_optimization=1 deployment.
 
-    ``repeats`` re-runs warmup + measurement on a FRESH VO instance over the
-    same staged batches and keeps the best window: the chip sits behind a
-    shared tunnel whose load spikes can span all three windows of a single
-    pass (observed spread at 72 streams: 184-206 FPS between back-to-back
-    bench processes), so the headline phase samples three independent passes.
-    If ``settle_fps`` > 0, sampling continues past ``repeats`` (bounded by
-    ``max_repeats``) until one window reaches it - the measured unloaded
-    steady state; stopping early on a loaded tunnel would report the
-    tunnel's congestion, not the chip's throughput.
+    ``repeats`` independent passes (fresh VO instance each) over the same
+    staged batches; the pass count is FIXED up front (never conditioned on
+    the measured result - ADVICE r3) and every window lands in the log.
     """
     import jax
-    import jax.numpy as jnp
 
     from rgbd_visualodometry_tpu.parallel import MultiStreamVO, make_mesh
 
@@ -199,16 +263,16 @@ def bench_multistream(
     batches = [vo.put_batch(*batch(i)) for i in range(len(seqs[0]))]
     jax.block_until_ready(batches)
 
-    best = 0.0
+    windows = []
     n_meas = (len(batches) - WARMUP_FRAMES) // 3
-    rep = 0
-    while True:
+    for rep in range(max(1, repeats)):
         if rep > 0:
             vo = MultiStreamVO(mcfg, n_streams=N_STREAMS, mesh=mesh)
         for fb in batches[:WARMUP_FRAMES]:
             out = vo.step(fb)
         vo.finish()
         jax.block_until_ready(vo.states)
+        pass_windows = []
         for window in range(3):
             lo = WARMUP_FRAMES + window * n_meas
             t0 = time.perf_counter()
@@ -216,11 +280,13 @@ def bench_multistream(
                 out = vo.step(fb)
             vo.finish()
             jax.block_until_ready(vo.states)
-            best = max(best, N_STREAMS * n_meas / (time.perf_counter() - t0))
+            pass_windows.append(
+                N_STREAMS * n_meas / (time.perf_counter() - t0)
+            )
         assert bool(out.tracked.all()), "a stream lost tracking"
-        rep += 1
-        if rep >= max(1, repeats) and (best >= settle_fps or rep >= (max_repeats or repeats)):
-            return best
+        windows.append(pass_windows)
+    mode = "full VO" if full_vo else "tracking"
+    return _summarize(f"{N_STREAMS}-stream batched {mode}", windows)
 
 
 def main():
@@ -230,37 +296,39 @@ def main():
     enable_compilation_cache()
     cfg = VOConfig()  # full fr1 defaults: 640x480, 500 features, 8 levels
 
-    fps_single = bench_single(cfg)
-    print(f"[bench] single-stream full VO: {fps_single:.2f} FPS", file=sys.stderr, flush=True)
-    fps_multi, used_streams = 0.0, 0
-    fps_multi_vo, used_streams_vo = 0.0, 0
+    def report(tag, r):
+        print(
+            f"[bench] {tag}: median {r['median']:.2f} / best {r['best']:.2f} "
+            f"FPS over {r['passes']} passes",
+            file=sys.stderr, flush=True,
+        )
+
+    single = bench_single(cfg)
+    report("single-stream full VO", single)
+    multi, used_streams = None, 0
+    multi_vo, used_streams_vo = None, 0
     for s in STREAM_CASCADE:
         try:
             got = bench_multistream(cfg, s, full_vo=False)
-            print(f"[bench] {s}-stream tracking: {got:.2f} FPS", file=sys.stderr, flush=True)
-            if got > fps_multi:
-                fps_multi, used_streams = got, s
+            report(f"{s}-stream tracking", got)
+            if multi is None or got["median"] > multi["median"]:
+                multi, used_streams = got, s
         except Exception:
             break  # a fault poisons the device; later attempts are doomed
     # full-VO multistream: larger batches than the frontend-only optimum -
     # the vmapped BA dispatch cost is nearly batch-size-independent, so
-    # more streams amortize it over more frames
-    # settle target: the unloaded steady state measured for this config
-    # (202 FPS official r3 run; sweeps up to 206) minus tolerance - if the
-    # first three passes all land under it the tunnel is loaded, so keep
-    # sampling up to 6 passes rather than publish congestion as throughput
-    settle = 195.0
+    # more streams amortize it over more frames.  The primary size gets the
+    # headline pass count; fallback sizes run only after a fault and stay
+    # cheap.
     for s in FULL_VO_CASCADE:
         try:
             got = bench_multistream(
-                cfg, s, full_vo=True, repeats=3, max_repeats=6,
-                # extra sampling only for the primary size; fallback sizes
-                # run only after a fault and should stay cheap
-                settle_fps=settle if s == FULL_VO_CASCADE[0] else 0.0,
+                cfg, s, full_vo=True,
+                repeats=PASSES_HEADLINE if s == FULL_VO_CASCADE[0] else PASSES_SECONDARY,
             )
-            print(f"[bench] {s}-stream full VO: {got:.2f} FPS", file=sys.stderr, flush=True)
-            if got > fps_multi_vo:
-                fps_multi_vo, used_streams_vo = got, s
+            report(f"{s}-stream full VO", got)
+            if multi_vo is None or got["median"] > multi_vo["median"]:
+                multi_vo, used_streams_vo = got, s
         except Exception as e:
             # only a clean OOM leaves the device usable for a smaller batch;
             # any other XLA fault can poison subsequent programs (same
@@ -269,29 +337,35 @@ def main():
                 continue
             break
 
-    # compare each phase to the measured baseline running the SAME workload,
-    # then report the phase with the best speedup
+    # compare each phase to the measured baseline running the SAME workload
+    # (by MEDIAN - the defensible number), then report the best phase
+    empty = {"median": 0.0, "best": 0.0, "passes": 0}
+    multi = multi or empty
+    multi_vo = multi_vo or empty
     candidates = [
-        (fps_single / BASELINE_FPS_FULL_VO, fps_single, "single-stream full VO"),
+        (single["median"] / BASELINE_FPS_FULL_VO, single, "single-stream full VO"),
         (
-            fps_multi / BASELINE_FPS_FRONTEND,
-            fps_multi,
+            multi["median"] / BASELINE_FPS_FRONTEND,
+            multi,
             f"{used_streams}-stream batched tracking",
         ),
         (
-            fps_multi_vo / BASELINE_FPS_FULL_VO,
-            fps_multi_vo,
+            multi_vo["median"] / BASELINE_FPS_FULL_VO,
+            multi_vo,
             f"{used_streams_vo}-stream batched full VO",
         ),
     ]
-    ratio, fps, mode = max(candidates)
+    ratio, phase, mode = max(candidates, key=lambda c: c[0])
     print(
         json.dumps(
             {
                 "metric": f"synthetic fr1-class 640x480 tracking FPS/chip ({mode})",
-                "value": round(fps, 2),
+                "value": round(phase["median"], 2),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(ratio, 2),
+                "best": round(phase["best"], 2),
+                "median": round(phase["median"], 2),
+                "passes": phase["passes"],
             }
         )
     )

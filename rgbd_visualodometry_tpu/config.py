@@ -178,14 +178,22 @@ class VOConfig:
 
     # ---- online loop closure (net-new: the reference never leaves the
     #      local BA window) ----
-    # Every N keyframes the run loop relaxes ALL keyframes against the
-    # loop-closure pose graph (co-observation + appearance edges) and
-    # deforms the map with them - globalopt.relax_map called live, which
-    # is safe mid-run (the tracking reference moves with its keyframe).
-    # The relaxation synchronizes the host on the current state, so it
-    # trades per-frame latency for global consistency.  0 = off (default;
+    # Every N keyframes (and once more at run close) the run loop relaxes
+    # ALL keyframes against the loop-closure pose graph (co-observation +
+    # appearance edges) and deforms the map with them - globalopt.relax_map
+    # called live, which is safe mid-run (the tracking reference moves with
+    # its keyframe).  A relaxation that detects NO loop edges is a no-op
+    # (require_loop - loopless relaxes measurably degrade BA-refined
+    # poses); after one that does act, every already-streamed pose is
+    # corrected in memory and the trajectory file is re-emitted.  The
+    # relaxation synchronizes the host on the current state, so it trades
+    # per-frame latency for global consistency.  0 = off (default;
     # --global-relax still relaxes once offline after the run).
     relax_every_kf: int = 0
+    # minimum keyframe timestamp gap (seconds) for a co-observation edge to
+    # count as a loop closure (shorter-gap pairs are ordinary covisibility,
+    # already optimized by local BA)
+    relax_loop_gap_s: float = 5.0
 
     # ---- localization-only mode (net-new: track against a frozen map) ----
     # The map is read-only: no keyframe inserts, no new mappoints, no

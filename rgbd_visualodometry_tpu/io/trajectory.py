@@ -33,12 +33,31 @@ class TrajectoryWriter:
         d = os.path.dirname(path)
         if d:
             os.makedirs(d, exist_ok=True)
+        self.path = path
         self._f = open(path, "w", encoding="utf-8")
+        self._write_header()
+
+    def _write_header(self):
         self._f.write("# estimated trajectory \n")
         self._f.write("# timestamp tx ty tz qx qy qz qw\n")
 
     def write(self, timestamp: float, pose_w_c: np.ndarray):
         self._f.write(pose_to_tum_line(timestamp, pose_w_c) + "\n")
+
+    def rewrite(self, entries):
+        """Replace the file's contents with ``entries`` = [(ts, pose_w_c)].
+
+        Used after an online loop-closure relaxation: poses streamed before
+        the relax carry pre-relax values, so the whole file is re-emitted
+        from the corrected in-memory results (the reference's live viewer
+        analogously always shows current poses, ``src/viewer.cpp:34-54``).
+        Subsequent :meth:`write` calls keep appending."""
+        self._f.close()
+        self._f = open(self.path, "w", encoding="utf-8")
+        self._write_header()
+        for ts, pose in entries:
+            self.write(ts, pose)
+        self._f.flush()
 
     def close(self):
         self._f.close()

@@ -340,6 +340,10 @@ def build_appearance_graph(
     poses, inls, rmss = [], [], []
     for s in range(0, len(pairs), int(chunk_pairs)):
         chunk = pairs[s : s + int(chunk_pairs)]
+        n = len(chunk)
+        # pad short tails to the fixed chunk size (repeat pair 0, slice the
+        # results) so one compiled _register_pairs serves every call
+        chunk = chunk + [chunk[0]] * (int(chunk_pairs) - n)
         ii = np.asarray([p[0] for p in chunk])
         jj = np.asarray([p[1] for p in chunk])
         pose, inl, rms = _register_pairs(
@@ -347,9 +351,9 @@ def build_appearance_graph(
             jnp.asarray(desc[jj]), jnp.asarray(pts[jj]), jnp.asarray(val[jj]),
             float(match_ratio), float(min_match_distance), float(inlier_radius),
         )
-        poses.append(np.asarray(pose))
-        inls.append(np.asarray(inl))
-        rmss.append(np.asarray(rms))
+        poses.append(np.asarray(pose)[:n])
+        inls.append(np.asarray(inl)[:n])
+        rmss.append(np.asarray(rms)[:n])
     poses = np.concatenate(poses)
     inls = np.concatenate(inls)
     keep = inls >= int(min_inliers)
@@ -396,12 +400,22 @@ def build_coobservation_graph(
     non-degenerate; the solver's redescending kernel + chi2 prune
     (``ops/posegraph.optimize_pose_graph``) absorbs the rare bad edge.
     """
+    from rgbd_visualodometry_tpu.ops.posegraph import edge_bucket
+
     cnt, sa, sb, mba = coobservation_moments(state, cam, chunk_rows=chunk_rows)
     cnt_h = np.asarray(cnt)
     ii, jj = np.nonzero(cnt_h >= float(min_shared))
     if ii.size == 0:
         return empty_graph()
-    meas = kabsch_from_moments(cnt[ii, jj], sa[ii, jj], sb[ii, jj], mba[ii, jj])
+    # bucket-pad the batched Horn solve so online (mid-run) callers reuse
+    # one compiled program across growing edge counts (pad rows repeat pair
+    # 0 and are sliced off below)
+    cap = edge_bucket(ii.size)
+    pi = np.concatenate([ii, np.full(cap - ii.size, ii[0])])
+    pj = np.concatenate([jj, np.full(cap - jj.size, jj[0])])
+    meas = kabsch_from_moments(cnt[pi, pj], sa[pi, pj], sb[pi, pj], mba[pi, pj])[
+        : ii.size
+    ]
     weight = np.minimum(cnt_h[ii, jj], float(max_pair_weight))
     return PoseGraph(
         edge_i=jnp.asarray(ii, jnp.int32),

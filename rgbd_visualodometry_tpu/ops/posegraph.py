@@ -79,6 +79,41 @@ def concat_graphs(a: PoseGraph, b: PoseGraph) -> PoseGraph:
     return PoseGraph(*(jnp.concatenate([x, y]) for x, y in zip(a, b)))
 
 
+def pad_graph(graph: PoseGraph, capacity: int) -> PoseGraph:
+    """Pad the edge list to exactly ``capacity`` rows (``edge_valid=False``
+    fillers carrying zero weight and identity measurements).
+
+    Online (mid-run) relaxation calls :func:`optimize_pose_graph` with a
+    growing edge count; padding to a bucketed capacity lets XLA reuse ONE
+    compiled solver across calls instead of recompiling per edge-count -
+    the compile bubble, not the solve, dominated the live-relax stall."""
+    e = int(graph.edge_i.shape[0])
+    if e > capacity:
+        raise ValueError(f"graph has {e} edges > capacity {capacity}")
+    pad = capacity - e
+    if pad == 0:
+        return graph
+    ident = jnp.zeros((pad, 7), graph.edge_meas.dtype).at[:, 0].set(1.0)
+    return PoseGraph(
+        edge_i=jnp.concatenate([graph.edge_i, jnp.zeros((pad,), jnp.int32)]),
+        edge_j=jnp.concatenate([graph.edge_j, jnp.zeros((pad,), jnp.int32)]),
+        edge_meas=jnp.concatenate([graph.edge_meas, ident]),
+        edge_weight=jnp.concatenate(
+            [graph.edge_weight, jnp.zeros((pad,), graph.edge_weight.dtype)]
+        ),
+        edge_valid=jnp.concatenate([graph.edge_valid, jnp.zeros((pad,), bool)]),
+    )
+
+
+def edge_bucket(n: int, minimum: int = 64) -> int:
+    """Smallest power-of-two >= n (>= ``minimum``) - the padding bucket
+    that bounds solver recompiles at O(log E) over a whole run."""
+    cap = int(minimum)
+    while cap < n:
+        cap *= 2
+    return cap
+
+
 def _edge_residual(xi_i, xi_j, T_i, T_j, meas):
     """r = log(meas^{-1} * (exp(xi_i) T_i)^{-1} * (exp(xi_j) T_j)) in R^6."""
     Ti = se3.compose(se3.exp(xi_i), T_i)

@@ -212,6 +212,11 @@ class VisualOdometry:
                     self.map_snapshot(), trajectory=traj,
                     name=f"map_{self._viewer_frame:05d}.png",
                 )
+                # live-refresh the interactive 3D map on the same cadence:
+                # `map.html` is rewritten in place, so a browser tab on it is
+                # the headless equivalent of the reference's always-current
+                # Pangolin window (src/viewer.cpp:34-54) during a long run
+                self.export_map_html()
             self._viewer_frame += 1
         return res
 
@@ -293,11 +298,38 @@ class VisualOdometry:
         # re-enter TRACKING from the map
         stop_on_lost = not self.cfg.enable_relocalization
         # online loop closure: relax the whole keyframe graph every N
-        # keyframes (relax_every_kf > 0); poses streamed to the trajectory
-        # file BEFORE a relaxation keep their pre-relax values - rewrite
-        # offline with globalopt.correct_trajectory if needed
+        # keyframes (relax_every_kf > 0).  After each relaxation every
+        # already-materialized pose is corrected in memory (each frame moves
+        # rigidly with its reference keyframe) and the trajectory file is
+        # re-emitted, so the streamed output always reflects the current
+        # world - what a user of the reference's live viewer sees
+        # (src/viewer.cpp:34-54)
         auto_n = int(self.cfg.relax_every_kf or 0)
         kf_at_last_relax = 0
+
+        def auto_relax():
+            # materialize in-flight frames first: they tracked against the
+            # pre-relax map and must be corrected too
+            flush(0)
+            # require_loop: a relaxation without loop evidence is a no-op
+            # (its short-gap Kabsch edges are noisier than the BA-refined
+            # poses - see globalopt.relax_map)
+            rep = self.global_relax(
+                loop_gap_s=self.cfg.relax_loop_gap_s, require_loop=True
+            )
+            self.num_auto_relaxes += 1
+            if rep.kf_ts.size:
+                self._apply_relax_correction(rep)
+                if writer:
+                    writer.rewrite(self._trajectory_entries())
+            if verbose:
+                print(
+                    f"auto relax #{self.num_auto_relaxes}: "
+                    f"{rep.num_loop_edges} loop + "
+                    f"{rep.num_appearance_edges} appearance edges, "
+                    f"max correction {rep.max_correction_m * 100:.2f} cm"
+                )
+
         try:
             for rgb, depth, ts in frames:
                 self.process_async(rgb, depth, ts)
@@ -306,18 +338,15 @@ class VisualOdometry:
                     kf_seen = sum(int(r.is_keyframe) for r in self.results)
                     if kf_seen - kf_at_last_relax >= auto_n:
                         kf_at_last_relax = kf_seen
-                        rep = self.global_relax()
-                        self.num_auto_relaxes += 1
-                        if verbose:
-                            print(
-                                f"auto relax #{self.num_auto_relaxes}: "
-                                f"{rep.num_loop_edges} loop + "
-                                f"{rep.num_appearance_edges} appearance edges, "
-                                f"max correction {rep.max_correction_m * 100:.2f} cm"
-                            )
+                        auto_relax()
                 if stop_on_lost and self.lost:
                     break
             flush(0)
+            if auto_n:
+                # close the run with one final relaxation so a loop that
+                # completes after the last cadence point still corrects the
+                # streamed trajectory
+                auto_relax()
         finally:
             if writer:
                 writer.close()
@@ -328,6 +357,34 @@ class VisualOdometry:
                 # headless stand-in for the reference's live Pangolin window
                 self.export_map_html()
         return self.results
+
+    def _trajectory_entries(self):
+        """(timestamp, pose_w_c) rows under the run loop's write filter."""
+        return [
+            (r.timestamp, r.pose_w_c)
+            for r in self.results
+            if (r.tracked or self.cfg.compat_write_untracked_poses)
+            and r.fsm != LOST
+        ]
+
+    def _apply_relax_correction(self, report) -> None:
+        """Move every materialized frame result rigidly with its reference
+        keyframe's relaxation delta (``globalopt.correct_trajectory``), so
+        in-memory poses - and anything re-emitted from them - reflect the
+        post-relax world."""
+        from rgbd_visualodometry_tpu.ops import se3
+        from rgbd_visualodometry_tpu.pipeline import globalopt
+
+        if report.kf_ts.size == 0 or not self.results:
+            return
+        base = self.time_base or 0.0
+        ts = np.asarray([r.timestamp for r in self.results]) - base
+        poses = np.asarray([r.pose_w_c for r in self.results], np.float32)
+        new_w_c = globalopt.correct_trajectory(report, ts, poses)
+        new_c_w = np.asarray(se3.inverse(jnp.asarray(new_w_c)))
+        for r, pw, pc in zip(self.results, new_w_c, new_c_w):
+            r.pose_w_c = pw
+            r.pose_c_w = pc
 
     def export_map_html(self, edges=None, name: str = "map.html"):
         """(Re-)export the interactive 3D HTML map, optionally with loop

@@ -114,14 +114,28 @@ def test_live_viewer_streams_overlays_and_map_renders(tmp_path):
     scene = synthetic.SyntheticScene(
         width=320, height=240, fx=258.6, fy=258.2, cx=159.3, cy=127.6
     )
-    seq = synthetic.generate_sequence(6, scene=scene)
+    seq = synthetic.generate_sequence(10, scene=scene)
     vo = VisualOdometry(cfg)
-    vo.run(((f.rgb, f.depth, f.timestamp) for f in seq))
+
+    # capture map.html from INSIDE the run (just before the last frame is
+    # fed): the interactive viewer must refresh in place on the
+    # viewer_map_every cadence, so a long run is browsable live like the
+    # reference's Pangolin window (viewer.cpp:34-54) - VERDICT r3 item 8
+    mid = {}
+
+    def feed():
+        for i, f in enumerate(seq):
+            if i == len(seq) - 1:
+                p = tmp_path / "viz" / "map.html"
+                mid["html"] = p.read_text() if p.exists() else None
+            yield f.rgb, f.depth, f.timestamp
+
+    vo.run(feed())
 
     overlays = sorted(glob.glob(str(tmp_path / "viz" / "frame_*.png")))
     maps = sorted(glob.glob(str(tmp_path / "viz" / "map_*.png")))
-    assert len(overlays) == 6, overlays
-    assert len(maps) == 2  # every 3rd frame
+    assert len(overlays) == 10, overlays
+    assert len(maps) == 4  # every 3rd frame
     # overlay differs from the raw input (green keypoint boxes drawn)
     img = (mpimg.imread(overlays[2])[:, :, :3] * 255).astype("uint8")
     assert img.shape[:2] == (240, 320)
@@ -131,6 +145,10 @@ def test_live_viewer_streams_overlays_and_map_renders(tmp_path):
     html = (tmp_path / "viz" / "map.html").read_text()
     assert "<canvas" in html and "new Float32Array" in html
     assert "%(" not in html  # every template placeholder substituted
+    # ... and it existed mid-run with different (smaller-map) content
+    assert mid["html"] is not None, "map.html absent mid-run"
+    assert "<canvas" in mid["html"]
+    assert mid["html"] != html
 
 
 def test_export_html_embeds_map_data(tmp_path):

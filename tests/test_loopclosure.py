@@ -468,3 +468,141 @@ def test_global_relax_on_live_system():
     poses = np.asarray([r.pose_w_c for r in results])
     corrected = globalopt.correct_trajectory(report, offs, poses)
     assert np.max(np.linalg.norm(corrected[:, 4:7] - poses[:, 4:7], axis=-1)) < 0.05
+
+
+def test_online_relax_corrects_streamed_trajectory(tmp_path, monkeypatch):
+    """Online loop closure end-to-end on a closed circuit with an injected
+    depth-scale calibration fault (the drift source - without one, tracking
+    against the persistent map is itself continuous loop closure and leaves
+    nothing to relax): the run loop relaxes mid-run, already-streamed poses
+    are corrected in memory, an acting relaxation improves their ATE, and
+    the trajectory FILE holds exactly the corrected poses (VERDICT r3
+    item 2).
+
+    320x240 keeps the fast suite fast; the full-res 640x480 twin below is
+    ``slow``-marked and runs the identical assertions at contract scale.
+    """
+    _online_relax_trajectory_case(
+        tmp_path, monkeypatch,
+        width=320, height=240, fx=258.6, fy=258.2, cx=159.3, cy=127.6,
+        n_frames=64, step=0.03, features=300, levels=4,
+        max_keyframes=32, max_mappoints=4096,
+    )
+
+
+@pytest.mark.slow
+def test_online_relax_fullres_closed_loop(tmp_path, monkeypatch):
+    """640x480 fr1-intrinsics closed circuit with relax_every_kf - the
+    contract-scale version of the online loop-closure trajectory test."""
+    _online_relax_trajectory_case(
+        tmp_path, monkeypatch,
+        width=640, height=480, fx=517.3, fy=516.5, cx=318.6, cy=255.3,
+        n_frames=64, step=0.03, features=500, levels=8,
+        max_keyframes=64, max_mappoints=16384,
+    )
+
+
+def _online_relax_trajectory_case(
+    tmp_path, monkeypatch, *, width, height, fx, fy, cx, cy,
+    n_frames, step, features, levels, max_keyframes, max_mappoints,
+):
+    from rgbd_visualodometry_tpu.evaltools import absolute_trajectory_error
+    from rgbd_visualodometry_tpu.io import synthetic
+    from rgbd_visualodometry_tpu.io.trajectory import read_trajectory
+    from rgbd_visualodometry_tpu.pipeline.system import VisualOdometry
+
+    cfg = VOConfig(
+        image_width=width, image_height=height,
+        camera_fx=fx, camera_fy=fy, camera_cx=cx, camera_cy=cy,
+        number_of_features=features, level_pyramid=levels,
+        max_keyframes=max_keyframes, max_mappoints=max_mappoints,
+        max_obs_per_mappoint=8,
+        pnp_max_points=512, triangulation_batch=128, ransac_hypotheses=64,
+        ba_max_poses=8, ba_max_points=1024,
+        # the synthetic circuit spans ~2 s of stamps, so the fr1-scale 5 s
+        # loop gap would classify every edge as ordinary covisibility
+        relax_every_kf=6, relax_loop_gap_s=1.0,
+    )
+    scene = synthetic.SyntheticScene(
+        width=width, height=height, fx=fx, fy=fy, cx=cx, cy=cy
+    )
+    poses = synthetic.loop_trajectory(n_frames, step=step)
+    frames = [scene.render(T, timestamp=i / 30.0) for i, T in enumerate(poses)]
+
+    def stream():
+        """Frames with a +5% depth-scale bias over the middle legs - a
+        Kinect-style calibration fault that makes the mid-run map grow at
+        the wrong scale and the trajectory genuinely drift, so the revisit
+        leg duplicates landmarks and only the loop-closure relaxation can
+        reconcile the two map generations."""
+        for i, f in enumerate(frames):
+            d = f.depth
+            if n_frames // 4 <= i < 3 * n_frames // 4:
+                d = np.clip(d.astype(np.float32) * 1.05, 0, 65535).astype(
+                    np.uint16
+                )
+            yield f.rgb, d, f.timestamp
+
+    # spy on global_relax to snapshot the streamed poses as they were just
+    # BEFORE each relaxation, paired with what that relaxation reported
+    events = []
+    orig = VisualOdometry.global_relax
+
+    def spy(self, **kw):
+        ts = np.asarray([r.timestamp for r in self.results])
+        ps = np.asarray([r.pose_w_c for r in self.results])
+        rep = orig(self, **kw)
+        events.append((ts, ps, rep))
+        return rep
+
+    monkeypatch.setattr(VisualOdometry, "global_relax", spy)
+
+    traj = str(tmp_path / "traj.txt")
+    vo = VisualOdometry(cfg)
+    results = vo.run(stream(), trajectory_path=traj)
+    assert all(r.tracked for r in results)
+    assert vo.num_auto_relaxes >= 1, "online relax never fired"
+    # at least one relaxation must have detected the drifted revisit and
+    # acted (loopless relaxes are required no-ops - globalopt.require_loop)
+    acted = [
+        (ts, ps, rep)
+        for ts, ps, rep in events
+        if rep.kf_ts.size and rep.num_loop_edges + rep.num_appearance_edges
+    ]
+    assert acted, "no relaxation detected the drifted revisit"
+
+    gt_ts = np.asarray([f.timestamp for f in frames])
+    gt_xyz = np.asarray([synthetic._pose_inverse(f.T_c_w)[4:7] for f in frames])
+
+    # an acting relaxation must improve the ATE of the poses that had
+    # already been streamed (the whole point of correcting mid-run) by a
+    # real margin, and no acting relaxation may make them materially worse
+    improvements = []
+    for pre_ts, pre_poses, rep in acted:
+        before = absolute_trajectory_error(
+            pre_ts, pre_poses[:, 4:7], gt_ts, gt_xyz
+        )
+        corrected = globalopt.correct_trajectory(
+            rep, pre_ts - vo.time_base, pre_poses
+        )
+        after = absolute_trajectory_error(
+            pre_ts, corrected[:, 4:7], gt_ts, gt_xyz
+        )
+        improvements.append((before.rmse, after.rmse))
+        assert after.rmse < before.rmse * 1.05, (
+            f"relax degraded streamed poses: {before.rmse} -> {after.rmse}"
+        )
+    assert any(a < b * 0.99 for b, a in improvements), (
+        f"no relax improved streamed poses: {improvements}"
+    )
+
+    # the trajectory FILE holds exactly the corrected in-memory results
+    file_ts, file_poses = read_trajectory(traj)
+    entries = vo._trajectory_entries()
+    assert len(file_ts) == len(entries)
+    np.testing.assert_allclose(
+        file_poses, np.asarray([p for _, p in entries]), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        file_ts, np.asarray([t for t, _ in entries]), atol=1e-4
+    )
