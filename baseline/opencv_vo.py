@@ -434,10 +434,14 @@ class FrontEnd:
         if not self._is_keyframe():
             return True
         kf = self._insert_keyframe()
-        # AddCurrentKeyframeObservations (frontend.cpp:366-370)
-        for mid in self.pnp_matched_mpt_ids:
-            if mid in self.flann_matched:  # uv from the flann map
-                kf.add_observed_mappoint(self.map, mid, self.flann_matched[mid][0])
+        # AddCurrentKeyframeObservations (frontend.cpp:366-370); under the map
+        # lock because the backend thread iterates mp.observations while
+        # assembling its graph (the reference guards the same state with
+        # Frame::observationMutex_/Mappoint::observationMutex_, frame.h:89-92)
+        with self.map._lock:
+            for mid in self.pnp_matched_mpt_ids:
+                if mid in self.flann_matched:  # uv from the flann map
+                    kf.add_observed_mappoint(self.map, mid, self.flann_matched[mid][0])
         self._create_new_mappoints(kf)
         self._triangulate_tracking_map(kf)
         if self.backend is not None:
@@ -632,7 +636,13 @@ class FrontEnd:
         self.stats["mappoints"] += created
 
     def _triangulate_tracking_map(self, kf):
-        # src/frontend.cpp:465-506 incl. the break-after-first-success quirk
+        # src/frontend.cpp:465-506 incl. the break-after-first-success quirk.
+        # Runs under the map lock: the backend's prune writeback mutates
+        # mp.observations concurrently (reference: observationMutex_).
+        with self.map._lock:
+            self._triangulate_tracking_map_locked(kf)
+
+    def _triangulate_tracking_map_locked(self, kf):
         for mp in self.tracking_map.values():
             if mp.outlier or mp.triangulated or mp.optimized:
                 continue
