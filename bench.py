@@ -1,6 +1,8 @@
 """Benchmark driver: full-resolution VO tracking throughput on one chip.
 
-Prints ONE JSON line:
+Prints ONE JSON line per completed phase (cumulative best-so-far), so the
+LAST JSON line on stdout is always the official result even if the driver's
+budget expires mid-run:
     {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N,
      "best": N, "median": N, "passes": N}
 
@@ -20,13 +22,24 @@ window is contention, not compute.  ``best`` (the old best-of-all-windows
 number) is reported alongside for comparison with earlier rounds, and every
 window of every pass is appended to ``benchmarks/bench_windows.jsonl``.
 
-Two phases:
-1. single-stream production loop (async enqueue + lagged drain),
-2. batched multi-stream mode (BASELINE config 5): S independent VO streams
-   vmapped on the one chip - the deployment shape for throughput - counted
-   as aggregate frames/sec/chip.
-The headline value is the better of the phases (all are fr1-class frames
-fully tracked per chip second).
+Round-5 hardening (VERDICT r4 tasks 1 + 3):
+
+- **Budget-proof**: phases run headline-first (72-stream full VO, then
+  single-stream, then tracking); a cumulative JSON line is printed after
+  each completed phase, and SIGTERM/SIGALRM handlers emit the best-so-far
+  JSON before dying, so the driver ALWAYS captures a machine-readable
+  number (BENCH_r04 was rc=124/parsed:null despite all phases finishing).
+  ``BENCH_BUDGET_S`` (default 1500 s) arms the internal alarm; phases that
+  cannot fit the remaining budget are skipped.  The 64-stream fallback runs
+  only if the 72-stream phase actually faulted.
+- **Data-anchored windows**: ``jax.block_until_ready`` returns at enqueue
+  on the axon platform (calibration record in
+  ``benchmarks/round4_tpu_runs.md``), so every timed window now closes by
+  ``device_get``-ing real step outputs - the in-order device queue makes
+  one materialized result prove all prior steps executed.  A start-of-run
+  self-calibration times a known-FLOP matmul under the same pattern and
+  aborts loudly if it beats the hardware roofline (i.e. the timer did not
+  wait); the measurement is recorded in the window log.
 
 The TUM dataset cannot be downloaded in this environment (no egress), so
 frames come from the synthetic renderer at identical resolution/intrinsics
@@ -41,6 +54,7 @@ separate so each bench phase divides by the matching workload).
 
 import json
 import os
+import signal
 import statistics
 import sys
 import time
@@ -53,45 +67,47 @@ BASELINE_FPS_FULL_VO = _MEASURED["full_vo"]["fps_mean"]
 BASELINE_FPS_FRONTEND = _MEASURED["frontend_only"]["fps_mean"]
 WARMUP_FRAMES = 12
 MEASURE_FRAMES = 60
-# multistream batches are staged in HBM up front; at 64 streams the full
-# 72-batch sequence alone is ~7 GB, so the batched phases use shorter
+# multistream batches are staged in HBM up front; at 64+ streams the full
+# batch sequence alone is several GB, so the batched phases use shorter
 # measurement windows (3 x 12 steps)
 MS_MEASURE_FRAMES = 36
-# multi-stream phase: ascending sizes, reliable first.  The round-1
-# batch>=3 runtime fault is fixed (track step split into two chained
-# programs - see pipeline/frontend.TrackInter), but the cascade stays
-# defensive: a fault can poison the device for subsequent programs, so
-# risky sizes go last and the best successful number wins.  Aggregate
-# throughput plateaus by 8 streams (compute-bound per stream), so two
-# sizes suffice.
-STREAM_CASCADE = (8, 32)
+# tracking-only phase: aggregate throughput plateaus by 8 streams
+# (compute-bound per stream; r4 measured 271 @ 8 vs 287 @ 32), so ONE size
+# with the secondary pass count keeps the protocol cheap (VERDICT r4 task 1c)
+TRACKING_STREAMS = 32
 # full-VO sizes: BA dispatch cost is ~batch-size-independent, big batches
 # win.  72 streams fit only because packed matching drops the [C, 256] int8
-# bipolar pool from per-stream map state (80 streams fit too but run slower
-# - measured 57.2x vs 72's 58.6x before the tri128/hyp64 knobs).
-FULL_VO_CASCADE = (72, 64)
+# bipolar pool from per-stream map state.  64 is the FAULT FALLBACK only -
+# it never runs when 72 succeeds (VERDICT r4 task 1b).
+FULL_VO_STREAMS = 72
+FULL_VO_FALLBACK = 64
 # fixed pass counts (result-independent - see module docstring)
 PASSES_HEADLINE = 5
 PASSES_SECONDARY = 2
 
 WINDOW_LOG = os.path.join(_HERE, "benchmarks", "bench_windows.jsonl")
 
+_T_START = time.monotonic()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
 
-def _log_windows(phase: str, windows):
+
+def _remaining() -> float:
+    return BUDGET_S - (time.monotonic() - _T_START)
+
+
+def _log_windows(phase: str, windows, extra: dict | None = None):
     """Append every measured window of every pass to the public log."""
     try:
         os.makedirs(os.path.dirname(WINDOW_LOG), exist_ok=True)
+        rec = {
+            "time": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "phase": phase,
+            "windows_fps": [[round(w, 2) for w in p] for p in windows],
+        }
+        if extra:
+            rec.update(extra)
         with open(WINDOW_LOG, "a", encoding="utf-8") as f:
-            f.write(
-                json.dumps(
-                    {
-                        "time": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-                        "phase": phase,
-                        "windows_fps": [[round(w, 2) for w in p] for p in windows],
-                    }
-                )
-                + "\n"
-            )
+            f.write(json.dumps(rec) + "\n")
     except OSError:
         pass  # logging must never fail the bench
 
@@ -106,6 +122,52 @@ def _summarize(phase: str, windows) -> dict:
         "passes": len(per_pass),
         "windows": windows,
     }
+
+
+def calibrate_timer() -> dict:
+    """Prove the measurement pattern waits for device completion.
+
+    Times a known-FLOP matmul (4096^2 bf16 self-product: 2*4096^3 =
+    137.4 GFLOP, >= 0.63 ms at the v5e 220 TF/s bf16 peak) closed by a
+    ``device_get`` of one output element - the same data anchor every bench
+    window uses.  If the measured time beats the roofline, the timer did
+    NOT wait (the axon ``block_until_ready``-returns-at-enqueue failure
+    mode) and the whole protocol is invalid: abort loudly.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        return {"calibration": "skipped (non-TPU backend)"}
+    n = 4096
+    peak_tflops = 220.0  # v5e bf16 MXU peak (public spec: 197-394; use 220)
+    flops = 2.0 * n**3
+    floor_s = flops / (peak_tflops * 1e12)
+    x = jax.device_put(jnp.ones((n, n), jnp.bfloat16))
+    f = jax.jit(lambda a: (a @ a).astype(jnp.float32))
+    np.asarray(f(x)[0, :1])  # compile + warm
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        y = f(x)
+        np.asarray(y[0, :1])  # data anchor: fetch forces execution
+        times.append(time.perf_counter() - t0)
+    measured = min(times)
+    rec = {
+        "calibration": "matmul",
+        "n": n,
+        "floor_ms": round(floor_s * 1e3, 3),
+        "measured_ms": round(measured * 1e3, 3),
+    }
+    if measured < 0.8 * floor_s:
+        raise RuntimeError(
+            f"TIMER CALIBRATION FAILED: {n}x{n} bf16 matmul 'completed' in "
+            f"{measured * 1e3:.3f} ms < roofline floor {floor_s * 1e3:.3f} ms "
+            "- the measurement pattern returns before device execution; "
+            "all window timings would be fiction. Aborting."
+        )
+    _log_windows("calibration", [], extra=rec)
+    return rec
 
 
 def _make_frames(cfg, n, seed=0):
@@ -142,8 +204,6 @@ def single_stream_cfg(cfg):
 
 
 def bench_single(cfg, repeats: int = PASSES_HEADLINE) -> dict:
-    import jax
-
     from rgbd_visualodometry_tpu.pipeline.system import VisualOdometry
 
     scfg = single_stream_cfg(cfg)
@@ -162,11 +222,12 @@ def bench_single(cfg, repeats: int = PASSES_HEADLINE) -> dict:
                 (vo.put_frame(f.rgb, f.depth, f.timestamp), f.timestamp)
                 for f in seq
             ]
-            jax.block_until_ready([s for s, _ in staged])
+            # anchor staging on data: materialize one element of the last
+            # staged frame (in-order queue => all uploads landed)
+            np.asarray(staged[-1][0].rgb[0, 0])
         for f, ts in staged[:WARMUP_FRAMES]:
             vo.process_async(f, timestamp=ts)
-        vo.drain(0)
-        jax.block_until_ready(vo.state)
+        vo.drain(0)  # drain() device_gets every output - a real data anchor
 
         pass_windows = []
         for window in range(3):
@@ -175,8 +236,7 @@ def bench_single(cfg, repeats: int = PASSES_HEADLINE) -> dict:
             for f, ts in staged[lo : lo + MEASURE_FRAMES]:
                 vo.process_async(f, timestamp=ts)
                 vo.drain(6)
-            vo.drain(0)
-            jax.block_until_ready(vo.state)
+            vo.drain(0)  # materializes the window's last StepOutput
             pass_windows.append(MEASURE_FRAMES / (time.perf_counter() - t0))
         tracked = sum(r.tracked for r in vo.results)
         assert tracked == len(seq), f"tracking failed: {tracked}/{len(seq)}"
@@ -230,7 +290,7 @@ def multistream_cfg(cfg, full_vo: bool = False):
 
 def bench_multistream(
     cfg,
-    n_streams: int | None = None,
+    n_streams: int,
     full_vo: bool = False,
     repeats: int = PASSES_SECONDARY,
 ) -> dict:
@@ -242,15 +302,17 @@ def bench_multistream(
     ``repeats`` independent passes (fresh VO instance each) over the same
     staged batches; the pass count is FIXED up front (never conditioned on
     the measured result - ADVICE r3) and every window lands in the log.
-    """
-    import jax
 
+    Every window closes on a DATA anchor: the last step's [S, 32] packed
+    output is device_get - the in-order device queue means its arrival
+    proves every prior step of the window executed (VERDICT r4 task 3; the
+    old ``block_until_ready`` returns at enqueue on this platform).
+    """
     from rgbd_visualodometry_tpu.parallel import MultiStreamVO, make_mesh
 
-    N_STREAMS = n_streams or STREAM_CASCADE[0]
     mcfg = multistream_cfg(cfg, full_vo=full_vo)
     mesh = make_mesh(1)
-    seqs = [_make_frames(mcfg, WARMUP_FRAMES + MS_MEASURE_FRAMES, seed=s) for s in range(N_STREAMS)]
+    seqs = [_make_frames(mcfg, WARMUP_FRAMES + MS_MEASURE_FRAMES, seed=s) for s in range(n_streams)]
 
     def batch(i):
         rgb = np.stack([s[i].rgb for s in seqs])
@@ -258,20 +320,21 @@ def bench_multistream(
         ts = np.asarray([s[i].timestamp for s in seqs])
         return rgb, depth, ts
 
-    vo = MultiStreamVO(mcfg, n_streams=N_STREAMS, mesh=mesh)
-    # stage every batch in HBM before timing (see bench_single for why)
+    vo = MultiStreamVO(mcfg, n_streams=n_streams, mesh=mesh)
+    # stage every batch in HBM before timing (see bench_single for why);
+    # anchor on one element of the last batch (in-order queue)
     batches = [vo.put_batch(*batch(i)) for i in range(len(seqs[0]))]
-    jax.block_until_ready(batches)
+    np.asarray(batches[-1].rgb[0, 0, 0])
 
     windows = []
     n_meas = (len(batches) - WARMUP_FRAMES) // 3
     for rep in range(max(1, repeats)):
         if rep > 0:
-            vo = MultiStreamVO(mcfg, n_streams=N_STREAMS, mesh=mesh)
+            vo = MultiStreamVO(mcfg, n_streams=n_streams, mesh=mesh)
         for fb in batches[:WARMUP_FRAMES]:
             out = vo.step(fb)
         vo.finish()
-        jax.block_until_ready(vo.states)
+        np.asarray(out.packed)  # data anchor: warmup fully executed
         pass_windows = []
         for window in range(3):
             lo = WARMUP_FRAMES + window * n_meas
@@ -279,14 +342,57 @@ def bench_multistream(
             for fb in batches[lo : lo + n_meas]:
                 out = vo.step(fb)
             vo.finish()
-            jax.block_until_ready(vo.states)
+            np.asarray(out.packed)  # data anchor closes the window
             pass_windows.append(
-                N_STREAMS * n_meas / (time.perf_counter() - t0)
+                n_streams * n_meas / (time.perf_counter() - t0)
             )
         assert bool(out.tracked.all()), "a stream lost tracking"
         windows.append(pass_windows)
     mode = "full VO" if full_vo else "tracking"
-    return _summarize(f"{N_STREAMS}-stream batched {mode}", windows)
+    return _summarize(f"{n_streams}-stream batched {mode}", windows)
+
+
+class _Reporter:
+    """Holds completed phases; prints the cumulative best-so-far JSON line.
+
+    The LAST JSON line on stdout is the official result; printing after
+    every phase (and from the signal handlers) guarantees the driver parses
+    a number even if its budget expires mid-run (VERDICT r4 task 1)."""
+
+    def __init__(self):
+        self.phases = []  # (ratio, summary, mode_label)
+
+    def add(self, summary, divisor, label):
+        self.phases.append((summary["median"] / divisor, summary, label))
+        self.emit()
+
+    def emit(self):
+        if not self.phases:
+            return False
+        ratio, phase, mode = max(self.phases, key=lambda c: c[0])
+        print(
+            json.dumps(
+                {
+                    "metric": f"synthetic fr1-class 640x480 tracking FPS/chip ({mode})",
+                    "value": round(phase["median"], 2),
+                    "unit": "frames/sec/chip",
+                    "vs_baseline": round(ratio, 2),
+                    # strongest-twin bound (BASELINE.md sensitivity table):
+                    # the reference's backend rides a second CPU core, so
+                    # the most favorable twin runs its frontend at full
+                    # speed with BA free - frontend-only FPS is the ceiling
+                    # of any fair full-VO twin on multicore hardware
+                    "vs_strongest_twin": round(
+                        phase["median"] / BASELINE_FPS_FRONTEND, 2
+                    ),
+                    "best": round(phase["best"], 2),
+                    "median": round(phase["median"], 2),
+                    "passes": phase["passes"],
+                }
+            ),
+            flush=True,
+        )
+        return True
 
 
 def main():
@@ -295,87 +401,75 @@ def main():
 
     enable_compilation_cache()
     cfg = VOConfig()  # full fr1 defaults: 640x480, 500 features, 8 levels
+    reporter = _Reporter()
+
+    def bail(signum, frame):
+        print(f"[bench] signal {signum}: emitting best-so-far JSON", file=sys.stderr)
+        had = reporter.emit()
+        os._exit(0 if had else 1)
+
+    signal.signal(signal.SIGTERM, bail)
+    signal.signal(signal.SIGALRM, bail)
+    # leave ~20 s of headroom to flush before the driver's own kill lands
+    signal.alarm(max(int(BUDGET_S) - 20, 30))
 
     def report(tag, r):
         print(
             f"[bench] {tag}: median {r['median']:.2f} / best {r['best']:.2f} "
-            f"FPS over {r['passes']} passes",
+            f"FPS over {r['passes']} passes ({_remaining():.0f}s budget left)",
             file=sys.stderr, flush=True,
         )
 
-    single = bench_single(cfg)
-    report("single-stream full VO", single)
-    multi, used_streams = None, 0
-    multi_vo, used_streams_vo = None, 0
-    for s in STREAM_CASCADE:
-        try:
-            got = bench_multistream(cfg, s, full_vo=False)
-            report(f"{s}-stream tracking", got)
-            if multi is None or got["median"] > multi["median"]:
-                multi, used_streams = got, s
-        except Exception:
-            break  # a fault poisons the device; later attempts are doomed
-    # full-VO multistream: larger batches than the frontend-only optimum -
-    # the vmapped BA dispatch cost is nearly batch-size-independent, so
-    # more streams amortize it over more frames.  The primary size gets the
-    # headline pass count; fallback sizes run only after a fault and stay
-    # cheap.
-    for s in FULL_VO_CASCADE:
-        try:
-            got = bench_multistream(
-                cfg, s, full_vo=True,
-                repeats=PASSES_HEADLINE if s == FULL_VO_CASCADE[0] else PASSES_SECONDARY,
-            )
-            report(f"{s}-stream full VO", got)
-            if multi_vo is None or got["median"] > multi_vo["median"]:
-                multi_vo, used_streams_vo = got, s
-        except Exception as e:
-            # only a clean OOM leaves the device usable for a smaller batch;
-            # any other XLA fault can poison subsequent programs (same
-            # reasoning as the frontend cascade's break above)
-            if "RESOURCE_EXHAUSTED" in str(e) or "out of memory" in str(e).lower():
-                continue
-            break
+    cal = calibrate_timer()
+    print(f"[bench] timer calibration: {cal}", file=sys.stderr, flush=True)
 
-    # compare each phase to the measured baseline running the SAME workload
-    # (by MEDIAN - the defensible number), then report the best phase
-    empty = {"median": 0.0, "best": 0.0, "passes": 0}
-    multi = multi or empty
-    multi_vo = multi_vo or empty
-    candidates = [
-        (single["median"] / BASELINE_FPS_FULL_VO, single, "single-stream full VO"),
-        (
-            multi["median"] / BASELINE_FPS_FRONTEND,
-            multi,
-            f"{used_streams}-stream batched tracking",
-        ),
-        (
-            multi_vo["median"] / BASELINE_FPS_FULL_VO,
-            multi_vo,
-            f"{used_streams_vo}-stream batched full VO",
-        ),
-    ]
-    ratio, phase, mode = max(candidates, key=lambda c: c[0])
-    # strongest-twin bound (BASELINE.md sensitivity table): the reference's
-    # backend thread rides a second CPU core, so the most favorable twin
-    # runs its frontend at full speed with BA free - the frontend-only FPS
-    # is the ceiling of any fair full-VO twin on multicore hardware
-    print(
-        json.dumps(
-            {
-                "metric": f"synthetic fr1-class 640x480 tracking FPS/chip ({mode})",
-                "value": round(phase["median"], 2),
-                "unit": "frames/sec/chip",
-                "vs_baseline": round(ratio, 2),
-                "vs_strongest_twin": round(
-                    phase["median"] / BASELINE_FPS_FRONTEND, 2
-                ),
-                "best": round(phase["best"], 2),
-                "median": round(phase["median"], 2),
-                "passes": phase["passes"],
-            }
-        )
-    )
+    # ---- phase 1 (headline): 72-stream full VO -----------------------------
+    full_vo_ok = False
+    try:
+        got = bench_multistream(cfg, FULL_VO_STREAMS, full_vo=True, repeats=PASSES_HEADLINE)
+        report(f"{FULL_VO_STREAMS}-stream full VO", got)
+        reporter.add(got, BASELINE_FPS_FULL_VO, f"{FULL_VO_STREAMS}-stream batched full VO")
+        full_vo_ok = True
+    except Exception as e:
+        print(f"[bench] {FULL_VO_STREAMS}-stream full VO failed: {e!r}", file=sys.stderr)
+        # only a clean OOM leaves the device usable for a smaller batch; any
+        # other XLA fault can poison subsequent programs on this runtime
+        if "RESOURCE_EXHAUSTED" in str(e) or "out of memory" in str(e).lower():
+            try:
+                got = bench_multistream(cfg, FULL_VO_FALLBACK, full_vo=True, repeats=PASSES_SECONDARY)
+                report(f"{FULL_VO_FALLBACK}-stream full VO", got)
+                reporter.add(got, BASELINE_FPS_FULL_VO, f"{FULL_VO_FALLBACK}-stream batched full VO")
+                full_vo_ok = True
+            except Exception as e2:
+                print(f"[bench] fallback failed too: {e2!r}", file=sys.stderr)
+
+    # ---- phase 2: single-stream full VO (production latency loop) ----------
+    if _remaining() > 240:
+        try:
+            single = bench_single(cfg)
+            report("single-stream full VO", single)
+            reporter.add(single, BASELINE_FPS_FULL_VO, "single-stream full VO")
+        except Exception as e:
+            print(f"[bench] single-stream failed: {e!r}", file=sys.stderr)
+            if not full_vo_ok:
+                raise
+    else:
+        print("[bench] skipping single-stream phase (budget)", file=sys.stderr)
+
+    # ---- phase 3: batched tracking (frontend-only comparison point) --------
+    if _remaining() > 180:
+        try:
+            got = bench_multistream(cfg, TRACKING_STREAMS, full_vo=False, repeats=1)
+            report(f"{TRACKING_STREAMS}-stream tracking", got)
+            reporter.add(got, BASELINE_FPS_FRONTEND, f"{TRACKING_STREAMS}-stream batched tracking")
+        except Exception as e:
+            print(f"[bench] tracking phase failed: {e!r}", file=sys.stderr)
+    else:
+        print("[bench] skipping tracking phase (budget)", file=sys.stderr)
+
+    signal.alarm(0)
+    if not reporter.emit():
+        return 1
     return 0
 
 

@@ -23,6 +23,10 @@ def report(tag, lowered_fn, *args):
     compiled = lowered_fn.lower(*args).compile()
     ma = compiled.memory_analysis()
     gb = 1024 ** 3
+    if ma is None or not hasattr(ma, "temp_size_in_bytes"):
+        # non-TPU backends may return None / a partial object (ADVICE r4)
+        print(f"{tag}: memory_analysis unavailable on this backend", flush=True)
+        return compiled
     print(
         f"{tag}: args={ma.argument_size_in_bytes/gb:.3f} GiB  "
         f"out={ma.output_size_in_bytes/gb:.3f} GiB  "

@@ -61,36 +61,48 @@ def main():
 
     results = {}
 
+    def sync(tree):
+        """Real device sync: block_until_ready returns at enqueue on axon
+        (round4_tpu_runs.md), so close every window by MATERIALIZING one
+        element of a result - the in-order queue proves all prior work ran
+        (ADVICE r4)."""
+        np.asarray(jax.tree.leaves(tree)[0].reshape(-1)[:1])
+        return tree
+
     # --- full step (+BA), the benched workload ---------------------------
+    # restart from the frozen snapshot each window so all three variants
+    # time the SAME map occupancy (ADVICE r4: the old version let the map
+    # evolve across full-step windows while the split variants reset)
     per = []
     for w in range(WINDOWS):
+        vo.states = sync(snap(frozen))
         t0 = time.perf_counter()
         for fb in batches[WARM:]:
-            vo.step(fb)
+            out = vo.step(fb)
         vo.finish()
-        jax.block_until_ready(vo.states)
+        sync(out.packed)
         per.append((time.perf_counter() - t0) / MEAS * 1e3)
     results["full step (+BA)"] = per
 
     # --- compute+update, no BA -------------------------------------------
     per = []
     for w in range(WINDOWS):
-        st = jax.block_until_ready(snap(frozen))  # _update donates its input
+        st = sync(snap(frozen))  # _update donates its input
         t0 = time.perf_counter()
         for fb in batches[WARM:]:
             it = vo._compute(st, fb)
             st, out = vo._update(st, it)
-        jax.block_until_ready(st)
+        sync(out.packed)
         per.append((time.perf_counter() - t0) / MEAS * 1e3)
     results["compute+update"] = per
 
     # --- compute only ------------------------------------------------------
     per = []
     for w in range(WINDOWS):
-        st = jax.block_until_ready(snap(frozen))
+        st = sync(snap(frozen))
         t0 = time.perf_counter()
         outs = [vo._compute(st, fb) for fb in batches[WARM:]]
-        jax.block_until_ready(outs)
+        sync(outs[-1].pose_used)
         per.append((time.perf_counter() - t0) / MEAS * 1e3)
     results["compute only"] = per
 
