@@ -12,17 +12,42 @@ Representation choices (TPU-first):
 
 - **Keyframes**: pose array ``[K, 7]`` + validity mask; slots are allocated
   monotonically (the reference never deletes keyframes).
-- **Mappoints**: struct-of-arrays over a capacity-``C`` pool.  Slots of
-  outlier points are recycled (an outlier has zero observations by
-  construction - ``src/mappoint.cpp:39-49`` - so recycling is safe).
-- **Observations**: fixed ``[C, M]`` per-mappoint slots ``(kf, u, v, valid)``
-  - this serves triangulation and bundle adjustment directly.
+- **Mappoints**: struct-of-arrays over a capacity-``C`` pool, stored
+  **C-minor** (capacity on the last axis - see below).  Slots of outlier
+  points are recycled (an outlier has zero observations by construction -
+  ``src/mappoint.cpp:39-49`` - so recycling is safe).
+- **Observations**: fixed per-mappoint slots ``(kf, u, v, valid)`` in
+  ``[M, C]`` / ``[2, M, C]`` planes - serving triangulation and bundle
+  adjustment directly.
 - **Covisibility** is *derived*, not stored: with the binary incidence
   matrix ``A[K, C]`` (keyframe observes mappoint), the covisibility weight
   matrix of ``Frame::allCovisibleKeyframeIdToWeight_`` (``frame.h:94``) is
   exactly ``A @ A^T`` - one int8 matmul on the MXU replaces all of the
   reference's incremental two-sided weight bookkeeping
   (``src/frame.cpp:93-171``).
+
+C-minor pool layout (round-5, VERDICT r4 task 2): TPU buffers tile the last
+two dims to (8, 128) lanes (f32), so the round-4 row-major pools paid a
+42-64x physical blowup on their tiny minor dims - ``mp_pos [C, 3]`` lowered
+as ``T(8,128)`` with the size-3 dim padded to 128 lanes, ``obs_uv [C, M, 2]``
+64x (HLO evidence in ``benchmarks/round4_tpu_runs.md``).  Every full-pool
+masked rewrite in the per-frame update half therefore moved gigabytes of
+padding.  With capacity C on the LANE axis the padding vanishes:
+
+====================  =============  ==================================
+leaf                  layout         physical/logical (C=16384, M=8)
+====================  =============  ==================================
+``mp_pos, mp_norm``   ``[3, C]``     2.67x (8-sublane pad; was 42x)
+``mp_desc``           ``[8, C]``     1x  (was 16x)
+``obs_kf/depth``      ``[M, C]``     1x  (was 16x)
+``obs_uv``            ``[2, M, C]``  1x  (was 64x)
+``obs_valid``         ``[M, C]``     4x int8 32-sublane pad (was 16x)
+``mp_* flags``        ``[C]``        1x
+====================  =============  ==================================
+
+Compact per-problem arrays (PnP rows, BA blocks, new-keypoint rows) stay
+row-major - they are small and transposing at the gather boundary is cheap;
+only the persistent, per-frame-rewritten pools need the C-minor layout.
 """
 
 from __future__ import annotations
@@ -50,22 +75,23 @@ class VOState(NamedTuple):
     # raw TUM epoch stamps would lose ~2 min of precision in f32)
     num_kf: jnp.ndarray  # scalar int32: next keyframe slot (monotonic)
 
-    # --- mappoints -------------------------------------------------------
-    mp_pos: jnp.ndarray  # [C, 3]
-    mp_desc: jnp.ndarray  # [C, 8] uint32 packed 256-bit descriptor
-    mp_bip: jnp.ndarray  # [C, 256] int8 bipolar descriptor (for matching);
+    # --- mappoints (C-minor pools - see module docstring) -----------------
+    mp_pos: jnp.ndarray  # [3, C]
+    mp_desc: jnp.ndarray  # [8, C] uint32 packed 256-bit descriptor
+    mp_bip: jnp.ndarray  # [C, 256] int8 bipolar descriptor (for matching;
+    # already tile-exact: C sublanes x 256 lanes).
     # [C, 0] under cfg.packed_matching (matching reads mp_desc instead)
-    mp_norm: jnp.ndarray  # [C, 3] mean viewing direction (mappoint.h:59-64)
+    mp_norm: jnp.ndarray  # [3, C] mean viewing direction (mappoint.h:59-64)
     mp_valid: jnp.ndarray  # [C] bool: slot allocated
     mp_outlier: jnp.ndarray  # [C] bool (mappoint.h:32)
     mp_triangulated: jnp.ndarray  # [C] bool (mappoint.h:23)
     mp_optimized: jnp.ndarray  # [C] bool (mappoint.h:24)
 
-    # --- observations (per-mappoint slots) -------------------------------
-    obs_kf: jnp.ndarray  # [C, M] int32 keyframe slot, -1 = empty
-    obs_uv: jnp.ndarray  # [C, M, 2] float32 pixel position
-    obs_depth: jnp.ndarray  # [C, M] float32 measured depth in meters (0 = none)
-    obs_valid: jnp.ndarray  # [C, M] bool
+    # --- observations (per-mappoint slots, C-minor planes) ----------------
+    obs_kf: jnp.ndarray  # [M, C] int32 keyframe slot, -1 = empty
+    obs_uv: jnp.ndarray  # [2, M, C] float32 pixel position (u plane, v plane)
+    obs_depth: jnp.ndarray  # [M, C] float32 measured depth in meters (0 = none)
+    obs_valid: jnp.ndarray  # [M, C] bool
 
     # --- derived-but-cached incidence (maintained incrementally) ----------
     # A_inc[K, C] int8: keyframe k observes mappoint c.  Kept in lock-step
@@ -90,7 +116,13 @@ class VOState(NamedTuple):
 
     @property
     def mp_obs_count(self) -> jnp.ndarray:
-        return jnp.sum(self.obs_valid, axis=1).astype(jnp.int32)
+        return jnp.sum(self.obs_valid, axis=0).astype(jnp.int32)
+
+    @property
+    def obs_capacity(self) -> tuple[int, int]:
+        """(C, M) pool capacities (obs planes are [M, C])."""
+        M, C = self.obs_kf.shape
+        return C, M
 
 
 def init_state(cfg: VOConfig, seed: int = 0) -> VOState:
@@ -101,20 +133,20 @@ def init_state(cfg: VOConfig, seed: int = 0) -> VOState:
         kf_valid=jnp.zeros(K, bool),
         kf_timestamp=jnp.zeros(K, f32),
         num_kf=jnp.int32(0),
-        mp_pos=jnp.zeros((C, 3), f32),
-        mp_desc=jnp.zeros((C, 8), jnp.uint32),
+        mp_pos=jnp.zeros((3, C), f32),
+        mp_desc=jnp.zeros((8, C), jnp.uint32),
         # packed_matching reclaims the pool's largest leaf (16 MB/stream at
         # C=65536): matching then runs off mp_desc via the pallas kernel
         mp_bip=jnp.zeros((C, 0 if cfg.packed_matching else 256), jnp.int8),
-        mp_norm=jnp.zeros((C, 3), f32),
+        mp_norm=jnp.zeros((3, C), f32),
         mp_valid=jnp.zeros(C, bool),
         mp_outlier=jnp.zeros(C, bool),
         mp_triangulated=jnp.zeros(C, bool),
         mp_optimized=jnp.zeros(C, bool),
-        obs_kf=jnp.full((C, M), -1, jnp.int32),
-        obs_uv=jnp.zeros((C, M, 2), f32),
-        obs_depth=jnp.zeros((C, M), f32),
-        obs_valid=jnp.zeros((C, M), bool),
+        obs_kf=jnp.full((M, C), -1, jnp.int32),
+        obs_uv=jnp.zeros((2, M, C), f32),
+        obs_depth=jnp.zeros((M, C), f32),
+        obs_valid=jnp.zeros((M, C), bool),
         A_inc=jnp.zeros((K, C), jnp.int8),
         ref_kf=jnp.int32(0),
         prev_pose=se3.identity(f32),
@@ -142,8 +174,8 @@ def incidence_from_obs(state: VOState) -> jnp.ndarray:
     tests of the incremental ``A_inc``.
     """
     K = state.kf_pose.shape[0]
-    C, M = state.obs_kf.shape
-    cols = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[:, None], (C, M))
+    M, C = state.obs_kf.shape
+    cols = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[None, :], (M, C))
     rows = jnp.clip(state.obs_kf, 0, K - 1)
     vals = state.obs_valid.astype(jnp.int8)
     A = jnp.zeros((K, C), jnp.int8)
@@ -239,7 +271,7 @@ def insert_keyframe(
         # clear the evicted keyframe's observations (dense compare, no scatter)
         hit_obs = evict & (state.obs_kf == slot) & state.obs_valid
         obs_valid = state.obs_valid & ~hit_obs
-        count = jnp.sum(obs_valid, axis=1)
+        count = jnp.sum(obs_valid, axis=0)
         mp_outlier = state.mp_outlier | (state.mp_valid & (count == 0))
         A_inc = jnp.where(
             ((jnp.arange(K) == slot) & evict)[:, None],
@@ -267,7 +299,7 @@ def add_observations(
     state: VOState,
     kf_slot: jnp.ndarray,
     mp_mask: jnp.ndarray,  # [C] add an observation for these mappoints
-    uv: jnp.ndarray,  # [C, 2] pixel position per mappoint
+    uvT: jnp.ndarray,  # [2, C] pixel position per mappoint (u row, v row)
     cam_center: jnp.ndarray,  # [3] observing camera center (for norm update)
     pred: jnp.ndarray,
     depth: jnp.ndarray | None = None,  # [C] measured depth at the pixel (m)
@@ -278,35 +310,38 @@ def add_observations(
     slot; the viewing-direction normal is updated with the reference's
     normalized running sum.  Covisibility needs no update here - it is
     derived from the observation table (see :func:`covisibility_weights`).
+
+    ``uvT`` is C-minor (``[2, C]``) to match the pool planes - callers with
+    per-row ``[C, 2]`` data pass ``uv.T`` (the transpose fuses).
     """
-    C, M = state.obs_kf.shape
+    M, C = state.obs_kf.shape
     # explicit casts: float64 host inputs would otherwise hit JAX's
     # unsafe-scatter-cast FutureWarning (hard error in future releases)
-    uv = jnp.asarray(uv, jnp.float32)
+    uvT = jnp.asarray(uvT, jnp.float32)
     cam_center = jnp.asarray(cam_center, jnp.float32)
     mp_mask = mp_mask & pred
-    free = ~state.obs_valid  # [C, M]
-    has_free = jnp.any(free, axis=1)
-    first_free = jnp.argmax(free, axis=1)  # first True (0 if none - guarded)
+    free = ~state.obs_valid  # [M, C]
+    has_free = jnp.any(free, axis=0)
+    first_free = jnp.argmax(free, axis=0)  # first True (0 if none - guarded)
     do = mp_mask & has_free
-    one_hot = jax.nn.one_hot(first_free, M, dtype=bool) & do[:, None]
+    one_hot = (jnp.arange(M)[:, None] == first_free[None, :]) & do[None, :]
 
     obs_kf = jnp.where(one_hot, kf_slot, state.obs_kf)
-    obs_uv = jnp.where(one_hot[..., None], uv[:, None, :], state.obs_uv)
+    obs_uv = jnp.where(one_hot[None, :, :], uvT[:, None, :], state.obs_uv)
     if depth is None:
         depth = jnp.zeros(C, jnp.float32)
     depth = jnp.asarray(depth, jnp.float32)
-    obs_depth = jnp.where(one_hot, depth[:, None], state.obs_depth)
+    obs_depth = jnp.where(one_hot, depth[None, :], state.obs_depth)
     obs_valid = state.obs_valid | one_hot
 
     # norm_ = normalize(norm_ + normalize(pos - camCenter))  (mappoint.h:63)
-    d = state.mp_pos - cam_center[None, :]
-    d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+    d = state.mp_pos - cam_center[:, None]
+    d = d / jnp.maximum(jnp.linalg.norm(d, axis=0, keepdims=True), 1e-12)
     new_norm = state.mp_norm + d
     new_norm = new_norm / jnp.maximum(
-        jnp.linalg.norm(new_norm, axis=-1, keepdims=True), 1e-12
+        jnp.linalg.norm(new_norm, axis=0, keepdims=True), 1e-12
     )
-    mp_norm = jnp.where(do[:, None], new_norm, state.mp_norm)
+    mp_norm = jnp.where(do[None, :], new_norm, state.mp_norm)
 
     # dense row update instead of a dynamic-row scatter (vmap-safe)
     K = state.A_inc.shape[0]
@@ -342,8 +377,11 @@ def create_mappoints(
     Returns ``(state, n_created)`` where ``n_created`` counts the creates
     that actually landed - requests beyond the free-slot supply are dropped
     and surface in the caller's stats (pool-overflow observability).
+
+    The per-row inputs stay row-major (``N`` is the small keypoint count);
+    the write-back gathers their TRANSPOSES into the C-minor pools.
     """
-    C, M = state.obs_kf.shape
+    M, C = state.obs_kf.shape
     N = positions.shape[0]
     positions = jnp.asarray(positions, jnp.float32)
     uv = jnp.asarray(uv, jnp.float32)
@@ -372,40 +410,48 @@ def create_mappoints(
     # axon TPU runtime at batch >= 3; gathers and dense selects vmap fine)
     hit, inv = packing.inverse_lookup(C, slot, ok)  # [C], [C]
 
-    def put(pool, rows):
-        cond = hit.reshape((C,) + (1,) * (pool.ndim - 1))
-        return jnp.where(cond, jnp.take(rows, inv, axis=0), pool)
+    def put_cm(pool, rows):
+        """C-minor pool [..., C] <- rows [N, ...] transposed + gathered."""
+        rowsT = jnp.moveaxis(rows, 0, -1)  # [..., N]
+        cond = hit.reshape((1,) * (pool.ndim - 1) + (C,))
+        return jnp.where(cond, jnp.take(rowsT, inv, axis=-1), pool)
 
     first_col = jnp.arange(M) == 0  # new points start with one observation
     K = state.A_inc.shape[0]
     rowsel = jnp.arange(K) == jnp.clip(kf_slot, 0, K - 1)
 
     n_created = jnp.sum(ok).astype(jnp.int32)
+    uvT_new = jnp.take(uv.T, inv, axis=1)  # [2, C]
     state = state._replace(
-        mp_pos=put(state.mp_pos, positions),
-        mp_desc=put(state.mp_desc, desc),
+        mp_pos=put_cm(state.mp_pos, positions),
+        mp_desc=put_cm(state.mp_desc, desc),
+        mp_norm=put_cm(state.mp_norm, d),
+        # mp_bip keeps its row-major [C, 256] layout (tile-exact already);
         # zero-width under packed_matching: slice the incoming rows to the
         # pool's (possibly empty) bit width
-        mp_bip=put(state.mp_bip, bip[:, : state.mp_bip.shape[1]]),
-        mp_norm=put(state.mp_norm, d),
+        mp_bip=jnp.where(
+            hit[:, None],
+            jnp.take(bip[:, : state.mp_bip.shape[1]], inv, axis=0),
+            state.mp_bip,
+        ),
         mp_valid=state.mp_valid | hit,
         mp_outlier=state.mp_outlier & ~hit,
         mp_triangulated=state.mp_triangulated & ~hit,
         mp_optimized=state.mp_optimized & ~hit,
         obs_kf=jnp.where(
-            hit[:, None], jnp.where(first_col, kf_slot, -1)[None, :], state.obs_kf
+            hit[None, :], jnp.where(first_col, kf_slot, -1)[:, None], state.obs_kf
         ),
         obs_uv=jnp.where(
-            hit[:, None, None],
-            first_col[None, :, None] * jnp.take(uv, inv, axis=0)[:, None, :],
+            hit[None, None, :],
+            first_col[None, :, None] * uvT_new[:, None, :],
             state.obs_uv,
         ),
         obs_depth=jnp.where(
-            hit[:, None],
-            first_col[None, :] * jnp.take(depth, inv)[:, None],
+            hit[None, :],
+            first_col[:, None] * jnp.take(depth, inv)[None, :],
             state.obs_depth,
         ),
-        obs_valid=jnp.where(hit[:, None], first_col[None, :], state.obs_valid),
+        obs_valid=jnp.where(hit[None, :], first_col[:, None], state.obs_valid),
         A_inc=jnp.where(
             rowsel[:, None],
             jnp.maximum(state.A_inc, hit.astype(jnp.int8)[None, :]),
@@ -421,19 +467,19 @@ def remove_observations(state: VOState, rm_mask: jnp.ndarray) -> VOState:
     observation slots; mappoints whose observation count drops to zero become
     outliers (and their slot becomes recyclable).
 
-    Full-pool form (rm_mask [C, M]); prefer
+    Full-pool form (rm_mask [M, C]); prefer
     :func:`remove_observations_rows` from compact per-point problems (BA) -
     it avoids a 2M-lane scatter on the incidence matrix.
     """
     K = state.A_inc.shape[0]
-    C, M = state.obs_kf.shape
+    M, C = state.obs_kf.shape
     obs_valid = state.obs_valid & ~rm_mask
-    count = jnp.sum(obs_valid, axis=1)
+    count = jnp.sum(obs_valid, axis=0)
     outlier = state.mp_outlier | (state.mp_valid & (count == 0))
     # clear incidence entries of removed observations ((kf, mp) pairs are
     # unique by construction, so a direct clear is safe)
     rows = jnp.where(rm_mask & state.obs_valid, jnp.clip(state.obs_kf, 0, K - 1), K)
-    cols = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[:, None], (C, M))
+    cols = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[None, :], (M, C))
     A_inc = state.A_inc.at[rows.reshape(-1), cols.reshape(-1)].set(0, mode="drop")
     return state._replace(obs_valid=obs_valid, mp_outlier=outlier, A_inc=A_inc)
 
@@ -442,27 +488,27 @@ def remove_observations_rows(
     state: VOState,
     pidx: jnp.ndarray,  # [B] mappoint slots
     pval: jnp.ndarray,  # [B] bool
-    prune: jnp.ndarray,  # [B, M] slots to clear
+    prune: jnp.ndarray,  # [B, M] slots to clear (row-major, BA's layout)
 ) -> VOState:
     """Compact form of :func:`remove_observations` for per-point problems:
     only B*M scatter lanes instead of C*M."""
     K = state.A_inc.shape[0]
-    C, M = state.obs_kf.shape
-    prune = prune & pval[:, None]
+    M, C = state.obs_kf.shape
+    pruneT = prune.T & pval[None, :]  # [M, B]
     tgt = jnp.where(pval, pidx, C)
-    old_rows = jnp.take(state.obs_valid, pidx, axis=0)
-    new_rows = old_rows & ~prune
-    obs_valid = state.obs_valid.at[tgt].set(new_rows, mode="drop")
+    old_cols = jnp.take(state.obs_valid, pidx, axis=1)  # [M, B]
+    new_cols = old_cols & ~pruneT
+    obs_valid = state.obs_valid.at[:, tgt].set(new_cols, mode="drop")
 
-    new_count = jnp.sum(new_rows, axis=1)
+    new_count = jnp.sum(new_cols, axis=0)
     was_valid = jnp.take(state.mp_valid, pidx)
     newly_outlier = pval & was_valid & (new_count == 0)
     mp_outlier = state.mp_outlier.at[jnp.where(newly_outlier, pidx, C)].set(
         True, mode="drop"
     )
 
-    okf = jnp.take(state.obs_kf, pidx, axis=0)
-    rows = jnp.where(prune & old_rows, jnp.clip(okf, 0, K - 1), K)
-    cols = jnp.broadcast_to(pidx[:, None], prune.shape)
+    okf = jnp.take(state.obs_kf, pidx, axis=1)  # [M, B]
+    rows = jnp.where(pruneT & old_cols, jnp.clip(okf, 0, K - 1), K)
+    cols = jnp.broadcast_to(pidx[None, :], pruneT.shape)
     A_inc = state.A_inc.at[rows.reshape(-1), cols.reshape(-1)].set(0, mode="drop")
     return state._replace(obs_valid=obs_valid, mp_outlier=mp_outlier, A_inc=A_inc)

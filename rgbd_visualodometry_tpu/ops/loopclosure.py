@@ -80,20 +80,25 @@ def coobservation_moments(state, cam, chunk_rows: int = 2048):
     transient at ``chunk_rows * M^2`` pair items.
     """
     K = state.kf_pose.shape[0]
-    C, M = state.obs_kf.shape
+    M, C = state.obs_kf.shape  # C-minor pools (mapstate.py docstring)
     n_chunks = -(-C // chunk_rows)
     pad = n_chunks * chunk_rows - C
 
+    # transpose the C-minor planes to row-major [C, M] once at entry: this
+    # is offline post-processing (once per relax), so the one-off padded
+    # copy is irrelevant next to keeping the scan body unchanged
     def padded(x, fill):
         if pad == 0:
             return x
         tail = jnp.full((pad,) + x.shape[1:], fill, x.dtype)
         return jnp.concatenate([x, tail])
 
-    kf = padded(state.obs_kf, -1).reshape(n_chunks, chunk_rows, M)
-    uv = padded(state.obs_uv, 0.0).reshape(n_chunks, chunk_rows, M, 2)
-    dep = padded(state.obs_depth, 0.0).reshape(n_chunks, chunk_rows, M)
-    val = padded(state.obs_valid, False).reshape(n_chunks, chunk_rows, M)
+    kf = padded(state.obs_kf.T, -1).reshape(n_chunks, chunk_rows, M)
+    uv = padded(jnp.transpose(state.obs_uv, (2, 1, 0)), 0.0).reshape(
+        n_chunks, chunk_rows, M, 2
+    )
+    dep = padded(state.obs_depth.T, 0.0).reshape(n_chunks, chunk_rows, M)
+    val = padded(state.obs_valid.T, False).reshape(n_chunks, chunk_rows, M)
 
     def body(acc, inp):
         cnt, sa, sb, mba = acc
@@ -163,11 +168,12 @@ def keyframe_feature_table(state, cam, max_features: int = 512):
     Host-side packing: this feeds offline loop-closure detection, and the
     per-keyframe observation counts are data-dependent.
     """
-    obs_kf = np.asarray(state.obs_kf)  # [C, M]
-    obs_valid = np.asarray(state.obs_valid)
-    obs_depth = np.asarray(state.obs_depth)
-    obs_uv = np.asarray(state.obs_uv)
-    mp_desc = np.asarray(state.mp_desc)
+    # host-side transposes of the C-minor planes back to row-major [C, M]
+    obs_kf = np.asarray(state.obs_kf).T  # [C, M]
+    obs_valid = np.asarray(state.obs_valid).T
+    obs_depth = np.asarray(state.obs_depth).T
+    obs_uv = np.transpose(np.asarray(state.obs_uv), (2, 1, 0))  # [C, M, 2]
+    mp_desc = np.asarray(state.mp_desc).T  # [C, 8]
     alive = np.asarray(state.mp_valid) & ~np.asarray(state.mp_outlier)
     K = state.kf_pose.shape[0]
 

@@ -76,7 +76,7 @@ def nearest_keypoints(
 
 
 def nearest_keypoints_packed(
-    cand_desc: jnp.ndarray,  # [C, 8] uint32 packed descriptors
+    cand_descT: jnp.ndarray,  # [8, C] uint32 packed pool (C-minor layout)
     kp_bip: jnp.ndarray,  # [N, 256] int8 bipolar keypoints
     kp_mask: jnp.ndarray,
 ) -> NearestKeypoints:
@@ -87,13 +87,17 @@ def nearest_keypoints_packed(
     C=16k / 64k - the unpack costs more than the saved bandwidth at these
     overhead-bound sizes, so ``VOConfig.packed_matching`` defaults False
     and this path exists for memory-capped deployments (more streams per
-    chip at the cost of ~0.2-0.3 ms per frame)."""
-    from rgbd_visualodometry_tpu.ops.pallas_match import hamming_matrix_packed
+    chip at the cost of ~0.2-0.3 ms per frame).
 
-    d = hamming_matrix_packed(cand_desc, kp_bip)
-    d = jnp.where(kp_mask[None, :], d, BIG)
-    best_kp = jnp.argmin(d, axis=1).astype(jnp.int32)
-    best_d = jnp.min(d, axis=1)
+    Takes the C-minor ``mp_desc`` pool (``[8, C]``); the distance matrix
+    comes back ``[N, C]`` and the per-candidate reductions run over axis 0.
+    """
+    from rgbd_visualodometry_tpu.ops.pallas_match import hamming_matrix_packed_T
+
+    d = hamming_matrix_packed_T(cand_descT, kp_bip)  # [N, C]
+    d = jnp.where(kp_mask[:, None], d, BIG)
+    best_kp = jnp.argmin(d, axis=0).astype(jnp.int32)
+    best_d = jnp.min(d, axis=0)
     return NearestKeypoints(kp_index=best_kp, distance=best_d)
 
 

@@ -124,3 +124,80 @@ def hamming_matrix_packed(
     if on_tpu and C % tile == 0 and C >= tile:
         return _hamming_packed_pallas(cand_desc, kp_bip, tile=tile)
     return _hamming_packed_xla(cand_desc, kp_bip)
+
+
+# ---------------------------------------------------------------------------
+# C-minor variants (round-5 pool layout: mp_desc is [8, C] - capacity on the
+# lane axis, so the persistent pool and its per-frame rewrites carry ZERO
+# tile padding; see mapstate.py module docstring)
+# ---------------------------------------------------------------------------
+
+
+def _hamming_packed_xla_T(cand_descT: jnp.ndarray, kp_bip: jnp.ndarray) -> jnp.ndarray:
+    """[8, C] u32 x [N, 256] i8 -> [N, C] i32 (pure XLA: unpack then dot).
+
+    Unpack keeps the canonical bit order (word-major, LSB first - row
+    ``r = 32*w + b`` of the [256, C] bipolar plane is bit ``b`` of word
+    ``w``), matching :func:`unpack_bipolar`'s flatten."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (cand_descT[:, None, :] >> shifts[None, :, None]) & jnp.uint32(1)
+    a = (bits.reshape(BITS, cand_descT.shape[1]).astype(jnp.int8) << 1) - 1
+    dot = jax.lax.dot_general(
+        kp_bip, a, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (BITS - dot) // 2
+
+
+def _kernel_T(cand_ref, kp_ref, out_ref):
+    """C-minor tile: [8, TC] packed words -> [256, TC] bipolar -> MXU dot.
+
+    ``pltpu.repeat(axis=0)`` tiles the 8 word rows 32x along sublanes
+    (rows ``[w0..w7, w0..w7, ...]``), so row ``r`` holds word ``r % 8``
+    shifted by ``r // 8`` - the same ``_TILE_PERM`` bit order as the
+    row-major kernel; ``kp_ref`` must be column-permuted accordingly."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    desc = cand_ref[:]  # [8, TC] uint32
+    words = pltpu.repeat(desc, repeats=32, axis=0)  # [256, TC] tile order
+    shifts = jax.lax.broadcasted_iota(jnp.uint32, (BITS, 1), 0) // jnp.uint32(WORDS)
+    bits = (words >> shifts) & jnp.uint32(1)
+    a = (bits.astype(jnp.int32) * 2 - 1).astype(jnp.int8)
+    dot = jax.lax.dot_general(
+        kp_ref[:], a, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out_ref[:] = (BITS - dot) // 2
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def _hamming_packed_pallas_T(cand_descT, kp_bip, tile: int = 1024):
+    from jax.experimental import pallas as pl
+
+    C = cand_descT.shape[1]
+    N = kp_bip.shape[0]
+    assert C % tile == 0, (C, tile)
+    kp_perm = jnp.take(kp_bip, jnp.asarray(_TILE_PERM), axis=1)
+    return pl.pallas_call(
+        _kernel_T,
+        out_shape=jax.ShapeDtypeStruct((N, C), jnp.int32),
+        grid=(C // tile,),
+        in_specs=[
+            pl.BlockSpec((WORDS, tile), lambda i: (0, i)),
+            pl.BlockSpec((N, BITS), lambda i: (0, 0)),  # replicated
+        ],
+        out_specs=pl.BlockSpec((N, tile), lambda i: (0, i)),
+    )(cand_descT, kp_perm)
+
+
+def hamming_matrix_packed_T(
+    cand_descT: jnp.ndarray,  # [8, C] uint32 (the C-minor mp_desc pool)
+    kp_bip: jnp.ndarray,  # [N, 256] int8 bipolar
+    tile: int = 1024,
+) -> jnp.ndarray:
+    """[N, C] int32 Hamming distances from the C-minor packed pool."""
+    C = cand_descT.shape[1]
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu and C % tile == 0 and C >= tile:
+        return _hamming_packed_pallas_T(cand_descT, kp_bip, tile=tile)
+    return _hamming_packed_xla_T(cand_descT, kp_bip)

@@ -210,16 +210,19 @@ class MultiStreamVO:
 
 def map_partition_specs(cfg: VOConfig, axis: str = "map"):
     """PartitionSpec pytree sharding VOState's mappoint (C) axis over
-    ``axis``: every ``mp_*`` / ``obs_*`` leaf on its leading dimension, the
-    incidence matrix ``A_inc [K, C]`` on its second - everything else
-    (keyframes, FSM scalars, RNG) replicated."""
+    ``axis``.  The pools are C-minor (mapstate.py docstring), so C is the
+    LAST dim of every ``mp_*`` / ``obs_*`` leaf except ``mp_bip`` (row-major
+    ``[C, 256]``) and the incidence matrix ``A_inc [K, C]`` (second dim) -
+    everything else (keyframes, FSM scalars, RNG) replicated."""
     template = mapstate.init_state(cfg)
     specs = {}
     for name, leaf in template._asdict().items():
-        if name == "A_inc":
+        if name in ("A_inc",):
             specs[name] = P(None, axis)
-        elif name.startswith(("mp_", "obs_")):
+        elif name == "mp_bip":
             specs[name] = P(*((axis,) + (None,) * (leaf.ndim - 1)))
+        elif name.startswith(("mp_", "obs_")):
+            specs[name] = P(*((None,) * (leaf.ndim - 1) + (axis,)))
         else:
             specs[name] = P()
     return mapstate.VOState(**specs)

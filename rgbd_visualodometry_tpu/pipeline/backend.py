@@ -73,7 +73,7 @@ class _BAProblem(NamedTuple):
 
 def build_problem(cfg: VOConfig, state: VOState, kf: jnp.ndarray) -> _BAProblem:
     K = state.kf_pose.shape[0]
-    C, M = state.obs_kf.shape
+    M, C = state.obs_kf.shape  # pools are C-minor (mapstate.py docstring)
     # the covisible window can never exceed the keyframe pool
     P, MB = min(cfg.ba_max_poses, K), cfg.ba_max_points
 
@@ -114,16 +114,17 @@ def build_problem(cfg: VOConfig, state: VOState, kf: jnp.ndarray) -> _BAProblem:
     # map), then by observation count.  Slot order would keep the oldest
     # points and starve fresh geometry exactly when the map is largest
     # (the reference's g2o window has no cap, backend.cpp:62-81).
-    n_obs = jnp.sum(state.obs_valid, axis=1, dtype=jnp.int32)
+    n_obs = jnp.sum(state.obs_valid, axis=0, dtype=jnp.int32)
     obs_by_cur = A[kf].astype(jnp.int32)
     score = (1 - obs_by_cur) * (M + 1) + (M - jnp.minimum(n_obs, M))
     pidx, pval = packing.compact_best_indices(pmask, score, MB)
 
-    # observations in their native per-point slots
-    o_kf = jnp.take(state.obs_kf, pidx, axis=0)  # [MB, M]
-    o_valid = jnp.take(state.obs_valid, pidx, axis=0) & pval[:, None]
-    o_uv = jnp.take(state.obs_uv, pidx, axis=0)
-    o_depth = jnp.take(state.obs_depth, pidx, axis=0)
+    # observations gathered from the C-minor planes into the compact
+    # row-major problem layout (MB is small: cfg.ba_max_points)
+    o_kf = jnp.take(state.obs_kf, pidx, axis=1).T  # [MB, M]
+    o_valid = jnp.take(state.obs_valid, pidx, axis=1).T & pval[:, None]
+    o_uv = jnp.transpose(jnp.take(state.obs_uv, pidx, axis=2), (2, 1, 0))  # [MB, M, 2]
+    o_depth = jnp.take(state.obs_depth, pidx, axis=1).T
     o_kf_safe = jnp.clip(o_kf, 0, K - 1)
     o_wpos = wpos[o_kf_safe]  # [MB, M]
     o_in_window = (o_wpos >= 0) & o_valid
@@ -385,11 +386,11 @@ def ba_step(cfg: VOConfig, camera, state: VOState, kf: jnp.ndarray):
 
     Masked no-op when the window/point sets are empty.
     """
-    C, M = state.obs_kf.shape
+    M, C = state.obs_kf.shape
     prob = build_problem(cfg, state, kf)
 
     poses0 = jnp.take(state.kf_pose, prob.widx, axis=0)
-    pts0 = jnp.take(state.mp_pos, prob.pidx, axis=0)
+    pts0 = jnp.take(state.mp_pos, prob.pidx, axis=1).T  # [MB, 3]
 
     # round 1: robust kernel on all edges (backend.cpp:122-141)
     poses1, pts1 = _lm_phase(
@@ -416,7 +417,7 @@ def ba_step(cfg: VOConfig, camera, state: VOState, kf: jnp.ndarray):
     # positions of selected, still-non-outlier points + optimized_ flag
     pt_ok = prob.pval & ~jnp.take(state.mp_outlier, prob.pidx)
     ptgt = jnp.where(pt_ok, prob.pidx, C)
-    mp_pos = state.mp_pos.at[ptgt].set(pts2, mode="drop")
+    mp_pos = state.mp_pos.at[:, ptgt].set(pts2.T, mode="drop")
     mp_opt = state.mp_optimized.at[ptgt].set(True, mode="drop")
 
     state = state._replace(kf_pose=kf_pose, mp_pos=mp_pos, mp_optimized=mp_opt)

@@ -172,8 +172,10 @@ def _match_and_estimate(cfg: VOConfig, camera, state: VOState, nn, feats, kp_cam
     per frame and shared by both rounds (only the frustum mask and the
     adaptive gate differ - see :func:`matching.nearest_keypoints`).
     """
+    # pools are C-minor ([3, C]); the transposes fuse into the elementwise
+    # frustum math (no materialized [C, 3] copy - asserted by the r5 HLO scan)
     observable = cam_mod.in_frustum(
-        camera, state.mp_pos, pose, state.mp_norm, cfg.max_observe_angle
+        camera, state.mp_pos.T, pose, state.mp_norm.T, cfg.max_observe_angle
     )
     cand = tmap & observable  # outliers already excluded from tmap
     if cfg.enable_relocalization:
@@ -188,7 +190,7 @@ def _match_and_estimate(cfg: VOConfig, camera, state: VOState, nn, feats, kp_cam
     midx, mval = packing.compact_best_indices(
         mres.matched, mres.distance, cfg.pnp_max_points
     )
-    p_w = jnp.take(state.mp_pos, midx, axis=0)
+    p_w = jnp.take(state.mp_pos, midx, axis=1).T  # [P, 3] from the [3, C] pool
     kpi = jnp.take(mres.kp_index, midx)
     uv = jnp.take(feats.xy, kpi, axis=0)
     p_cam = jnp.take(kp_cam, kpi, axis=0)
@@ -396,11 +398,12 @@ def apply_updates(cfg: VOConfig, camera, state: VOState, it: TrackInter):
     # scatter-free: invert the packed match-index list and gather per slot
     inlier_packed = it.ref_inliers & it.mval
     inlier_mp, minv = packing.inverse_lookup(C, it.midx, inlier_packed)
-    uv_for_mp = jnp.take(it.uv, minv, axis=0) * inlier_mp[:, None]
+    # C-minor gather: [2, P] rows taken along lanes -> [2, C] (pool layout)
+    uvT_for_mp = jnp.take(it.uv.T, minv, axis=1) * inlier_mp[None, :]
     kp_depth = jnp.take(it.depth, it.kpi) * jnp.take(it.depth_valid, it.kpi)
     depth_for_mp = jnp.take(kp_depth, minv) * inlier_mp
     state = mapstate.add_observations(
-        state, kf_slot, inlier_mp, uv_for_mp, cam_center, is_kf_eff,
+        state, kf_slot, inlier_mp, uvT_for_mp, cam_center, is_kf_eff,
         depth=depth_for_mp,
     )
 
@@ -427,9 +430,11 @@ def apply_updates(cfg: VOConfig, camera, state: VOState, it: TrackInter):
         & ~state.mp_outlier
     )
     tidx, tval = packing.compact_indices(tri_cand, cfg.triangulation_batch)
-    obs_kf = jnp.take(state.obs_kf, tidx, axis=0)  # [B, M]
-    obs_uv = jnp.take(state.obs_uv, tidx, axis=0)
-    obs_ok = jnp.take(state.obs_valid, tidx, axis=0) & tval[:, None]
+    # C-minor pool gathers (lane takes), transposed to the compact row-major
+    # problem layout (B is small - cfg.triangulation_batch)
+    obs_kf = jnp.take(state.obs_kf, tidx, axis=1).T  # [B, M]
+    obs_uv = jnp.transpose(jnp.take(state.obs_uv, tidx, axis=2), (2, 1, 0))  # [B, M, 2]
+    obs_ok = jnp.take(state.obs_valid, tidx, axis=1).T & tval[:, None]
     poses_obs = jnp.take(state.kf_pose, jnp.clip(obs_kf, 0, None), axis=0)  # [B, M, 7]
     norm_xy = cam_mod.pixel2camera(camera, obs_uv, 1.0)[..., :2]
     tri = triangulate.triangulate(
@@ -443,7 +448,7 @@ def apply_updates(cfg: VOConfig, camera, state: VOState, it: TrackInter):
     thit, tinv = packing.inverse_lookup(C, tidx, tri_ok)
     state = state._replace(
         mp_pos=jnp.where(
-            thit[:, None], jnp.take(tri.points, tinv, axis=0), state.mp_pos
+            thit[None, :], jnp.take(tri.points.T, tinv, axis=1), state.mp_pos
         ),
         mp_triangulated=state.mp_triangulated | thit,
     )

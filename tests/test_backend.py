@@ -80,7 +80,7 @@ def build_scene_state(cfg, n_kf=4, n_pts=120, noise_px=0.0, seed=0, with_depth=T
             jnp.zeros(C, jnp.float32).at[jnp.arange(n_pts)].set(zk) if with_depth else None
         )
         state = mapstate.add_observations(
-            state, jnp.int32(k), mask, uv_full, cam_mod.camera_center(poses_true[k]),
+            state, jnp.int32(k), mask, uv_full.T, cam_mod.camera_center(poses_true[k]),
             jnp.asarray(True), depth=depth_full,
         )
     return cam, state, poses_true, pts_true
@@ -93,7 +93,7 @@ def perturb_state(state, rng, pose_mag=0.02, pt_mag=0.05, n_kf=4, n_pts=120):
         se3.compose(se3.exp(dp), state.kf_pose[:n_kf])
     )
     dpt = jnp.asarray(rng.uniform(-pt_mag, pt_mag, (n_pts, 3)), jnp.float32)
-    mp_pos = state.mp_pos.at[:n_pts].set(state.mp_pos[:n_pts] + dpt)
+    mp_pos = state.mp_pos.at[:, :n_pts].set(state.mp_pos[:, :n_pts] + dpt.T)
     return state._replace(kf_pose=kf_pose, mp_pos=mp_pos)
 
 
@@ -136,7 +136,7 @@ def test_ba_converges_to_ground_truth():
     assert int(out.num_poses) == 4 and int(out.num_points) == 120
     assert after[1:].max() < 1e-3, f"pose errors after BA: {after}"
     # points recovered too
-    pt_err = np.linalg.norm(np.asarray(state2.mp_pos[:120]) - np.asarray(pts_true), axis=1)
+    pt_err = np.linalg.norm(np.asarray(state2.mp_pos[:, :120].T) - np.asarray(pts_true), axis=1)
     assert np.median(pt_err) < 5e-3
     # fixed keyframe untouched
     np.testing.assert_allclose(np.asarray(state2.kf_pose[0]), np.asarray(poses_true[0]), atol=1e-7)
@@ -155,7 +155,7 @@ def test_ba_prunes_bad_observations_and_marks_outliers():
         [[80.0, -60.0], [-75.0, 90.0], [65.0, 70.0], [-80.0, -85.0]], jnp.float32
     )
     state = state._replace(
-        obs_uv=state.obs_uv.at[0, :4, :].add(bad).at[1, 2, :].add(60.0)
+        obs_uv=state.obs_uv.at[:, :4, 0].add(bad.T).at[:, 2, 1].add(60.0)
     )
     step = jax.jit(functools.partial(backend.ba_step, cfg, cam))
     state2, out = step(state, jnp.int32(3))
@@ -164,7 +164,7 @@ def test_ba_prunes_bad_observations_and_marks_outliers():
     assert bool(state2.mp_outlier[0])
     # point 1 lost only one -> still alive
     assert not bool(state2.mp_outlier[1])
-    assert int(state2.obs_valid[1].sum()) == 3
+    assert int(state2.obs_valid[:, 1].sum()) == 3
     # remaining poses still at truth
     after = pose_errors(state2, poses_true, 4)
     assert after[1:].max() < 1e-3
@@ -183,7 +183,7 @@ def test_ba_without_depth_prior_still_reduces_pose_error():
     state2, out = step(state, jnp.int32(3))
     after = pose_errors(state2, poses_true, 4)
     assert after[1:].max() < before[1:].max()
-    pt_err = np.linalg.norm(np.asarray(state2.mp_pos[:120]) - np.asarray(pts_true), axis=1)
+    pt_err = np.linalg.norm(np.asarray(state2.mp_pos[:, :120].T) - np.asarray(pts_true), axis=1)
     assert np.median(pt_err) < 0.05
 
 
@@ -212,14 +212,14 @@ def test_ba_robust_to_outlier_depth_measurements():
     # kind edge shadowing produces (far-background depth behind a box edge)
     bad_pts = jnp.asarray([2, 5, 11, 17, 23, 31])
     state = state._replace(
-        obs_depth=state.obs_depth.at[bad_pts, 1].multiply(3.0)
+        obs_depth=state.obs_depth.at[1, bad_pts].multiply(3.0)
     )
     step = jax.jit(functools.partial(backend.ba_step, cfg, cam))
     state2, _ = step(state, jnp.int32(3))
     after = pose_errors(state2, poses_true, 4)
     assert after[1:].max() < 2e-3, f"outlier depths destabilized BA: {after}"
     pt_err = np.linalg.norm(
-        np.asarray(state2.mp_pos[:120]) - np.asarray(pts_true), axis=1
+        np.asarray(state2.mp_pos[:, :120].T) - np.asarray(pts_true), axis=1
     )
     assert np.median(pt_err) < 5e-3
     # even the points with a corrupted depth edge stay near truth: the

@@ -34,7 +34,7 @@ def test_incidence_consistency_after_ba_pruning():
     bad = jnp.asarray(
         [[80.0, -60.0], [-75.0, 90.0], [65.0, 70.0], [-80.0, -85.0]], jnp.float32
     )
-    state = state._replace(obs_uv=state.obs_uv.at[0, :4, :].add(bad))
+    state = state._replace(obs_uv=state.obs_uv.at[:, :4, 0].add(bad.T))
     state2, out = jax.jit(functools.partial(backend.ba_step, cfg, cam))(state, jnp.int32(3))
     assert int(out.num_pruned) >= 4
     assert_A_consistent(state2)
@@ -45,8 +45,8 @@ def test_incidence_consistency_after_ba_pruning():
 def test_incidence_consistency_after_generic_remove():
     cfg = small_cfg()
     cam, state, *_ = build_scene_state(cfg)
-    C, M = state.obs_kf.shape
-    rm = jnp.zeros((C, M), bool).at[3, 1].set(True).at[5, :].set(True)
+    M, C = state.obs_kf.shape
+    rm = jnp.zeros((M, C), bool).at[1, 3].set(True).at[:, 5].set(True)
     state2 = mapstate.remove_observations(state, rm)
     assert_A_consistent(state2)
     assert bool(state2.mp_outlier[5])  # lost all observations
@@ -56,9 +56,9 @@ def test_incidence_consistency_after_generic_remove():
 def test_outlier_slot_recycling_clears_state():
     cfg = small_cfg()
     cam, state, *_ = build_scene_state(cfg, n_pts=20)
-    C, M = state.obs_kf.shape
+    M, C = state.obs_kf.shape
     # remove all observations of point 2 -> outlier -> recyclable
-    rm = jnp.zeros((C, M), bool).at[2, :].set(True)
+    rm = jnp.zeros((M, C), bool).at[:, 2].set(True)
     state = mapstate.remove_observations(state, rm)
     assert bool(state.mp_outlier[2])
     # create one new mappoint: must land in slot 2 (first free)
@@ -70,9 +70,9 @@ def test_outlier_slot_recycling_clears_state():
         jnp.zeros(3, jnp.float32), jnp.asarray(True),
     )
     assert not bool(state2.mp_outlier[2])
-    np.testing.assert_allclose(np.asarray(state2.mp_pos[2]), [9, 9, 9])
-    assert int(state2.obs_valid[2].sum()) == 1
-    assert int(state2.obs_kf[2, 0]) == 1
+    np.testing.assert_allclose(np.asarray(state2.mp_pos[:, 2]), [9, 9, 9])
+    assert int(state2.obs_valid[:, 2].sum()) == 1
+    assert int(state2.obs_kf[0, 2]) == 1
     assert_A_consistent(state2)
 
 
@@ -118,9 +118,9 @@ def test_insert_ring_eviction_recycles_oldest_and_pins_anchor():
     K = cfg.max_keyframes
     cam, state, poses_true, pts_true = build_scene_state(cfg)  # 4 KFs, obs
     # make point 7 observed ONLY by keyframes 1 and 2 (the ones evicted below)
-    C, M = state.obs_kf.shape
-    rm = jnp.zeros((C, M), bool).at[7].set(state.obs_kf[7] != 1)
-    rm = rm.at[7].set(rm[7] & (state.obs_kf[7] != 2))
+    M, C = state.obs_kf.shape
+    rm = jnp.zeros((M, C), bool).at[:, 7].set(state.obs_kf[:, 7] != 1)
+    rm = rm.at[:, 7].set(rm[:, 7] & (state.obs_kf[:, 7] != 2))
     state = mapstate.remove_observations(state, rm)
     assert not bool(state.mp_outlier[7])
     n0 = int(state.num_kf)

@@ -148,3 +148,38 @@ def test_hamming_packed_matches_bipolar_matmul():
     a0 = bits[0]
     b0 = (kp[0] > 0).astype(np.uint32)
     assert d_ref[0, 0] == int((a0 != b0).sum())
+
+
+def test_hamming_packed_T_matches_bipolar_matmul():
+    """C-minor variant oracle (round-5 pool layout): the [8, C] packed pool
+    must yield the same distances as the row-major path, transposed."""
+    import numpy as np
+
+    from rgbd_visualodometry_tpu.ops import matching
+    from rgbd_visualodometry_tpu.ops.pallas_match import (
+        hamming_matrix_packed,
+        hamming_matrix_packed_T,
+    )
+
+    rng = np.random.default_rng(11)
+    bits = rng.integers(0, 2, (96, 256)).astype(np.uint32)
+    packed = (bits.reshape(96, 8, 32) << np.arange(32, dtype=np.uint32)).sum(
+        axis=-1, dtype=np.uint32
+    )
+    kp = (rng.integers(0, 2, (40, 256)).astype(np.int8) * 2 - 1).astype(np.int8)
+    d_row = np.asarray(hamming_matrix_packed(jnp.asarray(packed), jnp.asarray(kp)))
+    d_cm = np.asarray(
+        hamming_matrix_packed_T(jnp.asarray(packed.T.copy()), jnp.asarray(kp))
+    )
+    np.testing.assert_array_equal(d_row, d_cm.T)
+
+    # nearest_keypoints_packed consumes the C-minor pool directly and must
+    # agree with the dense bipolar path
+    bip = (bits.astype(np.int8) * 2 - 1).astype(np.int8)
+    kp_mask = jnp.ones(40, bool).at[7].set(False)
+    nn_dense = matching.nearest_keypoints(jnp.asarray(bip), jnp.asarray(kp), kp_mask)
+    nn_packed = matching.nearest_keypoints_packed(
+        jnp.asarray(packed.T.copy()), jnp.asarray(kp), kp_mask
+    )
+    np.testing.assert_array_equal(np.asarray(nn_dense.distance), np.asarray(nn_packed.distance))
+    np.testing.assert_array_equal(np.asarray(nn_dense.kp_index), np.asarray(nn_packed.kp_index))
