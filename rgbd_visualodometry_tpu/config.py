@@ -194,6 +194,14 @@ class VOConfig:
     # count as a loop closure (shorter-gap pairs are ordinary covisibility,
     # already optimized by local BA)
     relax_loop_gap_s: float = 5.0
+    # run the online relaxation ASYNCHRONOUSLY: graph build + solve happen
+    # on a worker thread over a state snapshot while tracking continues,
+    # and the correction is applied at a later drain ("latest wins", like
+    # the reference backend's condvar trigger - backend.h:33-37).  False
+    # restores the round-4 synchronous semantics (each relaxation completes
+    # in-line before the next frame - deterministic, but the first firing
+    # stalls the loop on graph build + compile + solve).
+    relax_async: bool = True
 
     # ---- localization-only mode (net-new: track against a frozen map) ----
     # The map is read-only: no keyframe inserts, no new mappoints, no

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -72,7 +73,39 @@ def _noop_report() -> RelaxReport:
     )
 
 
-def relax_map(
+@dataclass
+class Relaxation:
+    """A computed (but not yet applied) relaxation: the per-keyframe-slot
+    world-frame correction table plus the human-facing report.
+
+    Decoupling computation from application is what makes ONLINE loop
+    closure non-stalling (VERDICT r4 task 6): ``compute_relaxation`` runs on
+    a SNAPSHOT of the state (on a worker thread - graph build, Horn edges
+    and the pose-graph solve never block the frame loop), and
+    ``apply_relaxation`` later deforms whatever the LIVE state has become -
+    the reference backend's "latest wins" contract
+    (``include/myslam/backend.h:33-37``) applied to loop closure.
+    """
+
+    report: RelaxReport
+    delta_w: "jnp.ndarray"  # [K, 7] per-slot world delta (identity if invalid)
+    snap_valid: "jnp.ndarray"  # [K] bool keyframe validity at snapshot time
+    snap_ts: "jnp.ndarray"  # [K] f32 keyframe timestamps at snapshot time
+    ref_delta_w: "jnp.ndarray"  # [7] delta of the newest snapshot keyframe
+
+
+def _noop_relaxation(K: int) -> Relaxation:
+    ident = jnp.tile(se3.identity(jnp.float32)[None], (K, 1))
+    return Relaxation(
+        report=_noop_report(),
+        delta_w=ident,
+        snap_valid=jnp.zeros((K,), bool),
+        snap_ts=jnp.zeros((K,), jnp.float32),
+        ref_delta_w=se3.identity(jnp.float32),
+    )
+
+
+def compute_relaxation(
     state,
     cfg,
     *,
@@ -85,9 +118,12 @@ def relax_map(
     appearance: bool = True,
     appearance_min_inliers: int = 12,
     require_loop: bool = False,
-):
-    """Relax all keyframe poses against the co-observation graph and
-    deform the map accordingly.  Returns ``(new_state, RelaxReport)``.
+) -> Relaxation:
+    """Build the loop-closure graph and solve the relaxation WITHOUT
+    touching the state.  Returns a :class:`Relaxation` (no-op one - empty
+    ``report.kf_ts`` - when there is nothing to do).  Thread-safe with
+    respect to a concurrently tracking system as long as ``state`` is a
+    snapshot whose buffers the tracker will not donate.
 
     - The temporally-first valid keyframe is the gauge (fixed), matching
       the backend's KF-0 convention (``src/backend.cpp:60-63`` fixes the
@@ -109,7 +145,7 @@ def relax_map(
     kf_valid = np.asarray(state.kf_valid)
     slots = np.nonzero(kf_valid)[0]
     if slots.size < 2:
-        return state, _noop_report()
+        return _noop_relaxation(kf_valid.shape[0])
 
     cam = Camera.from_config(cfg)
     graph = loopclosure.build_coobservation_graph(
@@ -155,9 +191,9 @@ def relax_map(
     if require_loop and num_loop + num_app == 0:
         # nothing to close: leave the BA-refined poses untouched (see the
         # docstring) but still report what was detected
-        rep = _noop_report()
-        rep.num_edges = num_coobs
-        return state, rep
+        rlx = _noop_relaxation(kf_valid.shape[0])
+        rlx.report.num_edges = num_coobs
+        return rlx
 
     chain = []
     for a, b in zip(order[:-1], order[1:]):
@@ -180,7 +216,7 @@ def relax_map(
             else chain_graph
         )
     if int(graph.edge_i.shape[0]) == 0:
-        return state, _noop_report()
+        return _noop_relaxation(kf_valid.shape[0])
 
     # bucket-pad the edge list so the jitted solver compiles O(log E) times
     # over a whole run instead of once per relax - online relaxation
@@ -202,35 +238,15 @@ def relax_map(
     valid_dev = jnp.asarray(kf_valid)
     relaxed_w = jnp.where(valid_dev[:, None], relaxed_w, poses_w)
 
-    # rigid deformation: every entity moves with its anchor keyframe
+    # the per-slot correction table (identity on invalid slots); the newest
+    # snapshot keyframe's delta anchors everything created AFTER the
+    # snapshot when the relaxation is applied asynchronously
     delta_w = se3.compose(relaxed_w, se3.inverse(poses_w))  # [K, 7]
     K = kf_valid.shape[0]
-    anchor_m = jnp.argmax(state.obs_valid, axis=1)  # first valid obs slot
-    has_obs = jnp.any(state.obs_valid, axis=1)
-    anchor_kf = jnp.clip(
-        jnp.take_along_axis(state.obs_kf, anchor_m[:, None], axis=1)[:, 0],
-        0,
-        K - 1,
+    delta_w = jnp.where(
+        valid_dev[:, None], delta_w, se3.identity(jnp.float32)[None, :]
     )
-    mp_pos = jnp.where(
-        (has_obs & state.mp_valid)[:, None],
-        se3.apply(delta_w[anchor_kf], state.mp_pos),
-        state.mp_pos,
-    )
-    # tracking reference follows the reference keyframe's correction so a
-    # mid-run relaxation keeps the frontend's motion prior coherent
-    ref_delta = delta_w[jnp.clip(state.ref_kf, 0, K - 1)]
-    prev_pose = se3.inverse(
-        se3.compose(ref_delta, se3.inverse(state.prev_pose))
-    )
-
-    new_state = state._replace(
-        kf_pose=jnp.where(
-            valid_dev[:, None], se3.inverse(relaxed_w), state.kf_pose
-        ),
-        mp_pos=mp_pos,
-        prev_pose=prev_pose,
-    )
+    ref_delta_w = delta_w[int(order[-1])]
 
     old_w = np.asarray(poses_w)
     new_w = np.asarray(relaxed_w)
@@ -253,7 +269,78 @@ def relax_map(
         num_appearance_edges=num_app,
         loop_pairs_w=loop_pairs,
     )
-    return new_state, report
+    return Relaxation(
+        report=report,
+        delta_w=delta_w,
+        snap_valid=valid_dev,
+        snap_ts=jnp.asarray(state.kf_timestamp),
+        ref_delta_w=ref_delta_w,
+    )
+
+
+@jax.jit
+def _apply_relaxation_arrays(
+    kf_pose, kf_valid, kf_timestamp, obs_kf, obs_valid, mp_pos, mp_valid,
+    ref_kf, prev_pose, delta_w, snap_valid, snap_ts, ref_delta_w,
+):
+    """Device program deforming the live pools by the per-slot deltas.
+
+    Keyframe slots still holding the SAME keyframe as at snapshot time
+    (valid then and now, identical timestamp - slots are written once per
+    keyframe, so the timestamp identifies the occupant) get their own
+    delta; slots created or recycled after the snapshot move rigidly with
+    the snapshot's newest keyframe (they were tracked against a map that
+    moves with it).  Mappoints move with their first-observation keyframe,
+    the tracking prior with the reference keyframe - the same rigid
+    deformation contract as the synchronous path.
+    """
+    K = kf_pose.shape[0]
+    same = kf_valid & snap_valid & (kf_timestamp == snap_ts)
+    slot_delta = jnp.where(same[:, None], delta_w, ref_delta_w[None, :])  # [K, 7]
+
+    poses_w = se3.inverse(kf_pose)
+    new_w = se3.compose(slot_delta, poses_w)
+    kf_pose2 = jnp.where(kf_valid[:, None], se3.inverse(new_w), kf_pose)
+
+    # mappoints follow their anchor keyframe (C-minor pools: [M, C]/[3, C])
+    anchor_m = jnp.argmax(obs_valid, axis=0)  # first valid obs slot [C]
+    has_obs = jnp.any(obs_valid, axis=0)
+    anchor_kf = jnp.clip(
+        jnp.take_along_axis(obs_kf, anchor_m[None, :], axis=0)[0, :], 0, K - 1
+    )
+    mp_pos2 = jnp.where(
+        (has_obs & mp_valid)[None, :],
+        se3.apply(slot_delta[anchor_kf], mp_pos.T).T,
+        mp_pos,
+    )
+    ref_delta = slot_delta[jnp.clip(ref_kf, 0, K - 1)]
+    prev_pose2 = se3.inverse(se3.compose(ref_delta, se3.inverse(prev_pose)))
+    return kf_pose2, mp_pos2, prev_pose2
+
+
+def apply_relaxation(state, rlx: Relaxation):
+    """Deform a (possibly newer) live state by a computed relaxation."""
+    if rlx.report.kf_ts.size == 0:
+        return state
+    kf_pose, mp_pos, prev_pose = _apply_relaxation_arrays(
+        state.kf_pose, state.kf_valid, state.kf_timestamp,
+        state.obs_kf, state.obs_valid, state.mp_pos, state.mp_valid,
+        state.ref_kf, state.prev_pose,
+        rlx.delta_w, rlx.snap_valid, rlx.snap_ts, rlx.ref_delta_w,
+    )
+    return state._replace(kf_pose=kf_pose, mp_pos=mp_pos, prev_pose=prev_pose)
+
+
+def relax_map(state, cfg, **kwargs):
+    """Synchronous relax-and-apply (the offline API): compute the
+    relaxation from ``state`` and deform the same state.  Returns
+    ``(new_state, RelaxReport)``.  When applied to the very state it was
+    computed from, the timestamp-matching in :func:`apply_relaxation`
+    matches every valid slot, so this is exactly the rigid deformation of
+    rounds 3-4; ``VisualOdometry.run`` uses the split form asynchronously
+    (``relax_async``) instead."""
+    rlx = compute_relaxation(state, cfg, **kwargs)
+    return apply_relaxation(state, rlx), rlx.report
 
 
 def correct_trajectory(

