@@ -223,6 +223,8 @@ def test_brief_bf16_parity_on_tpu():
         import jax, sys
         if jax.default_backend() != "tpu":
             print("NO_TPU"); sys.exit(0)
+        from rgbd_visualodometry_tpu.utils import enable_compilation_cache
+        enable_compilation_cache()  # first run pays the compile once
         import jax.numpy as jnp
         import numpy as np
         from rgbd_visualodometry_tpu.ops import orb
@@ -247,7 +249,7 @@ def test_brief_bf16_parity_on_tpu():
     )
     proc = subprocess.run(
         [sys.executable, "-c", code], env=env, capture_output=True, text=True,
-        timeout=900, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=2400, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     if "NO_TPU" in proc.stdout:
         pytest.skip("no TPU attached")
@@ -271,6 +273,8 @@ def test_patch_bf16_parity_on_tpu():
         import jax, sys
         if jax.default_backend() != "tpu":
             print("NO_TPU"); sys.exit(0)
+        from rgbd_visualodometry_tpu.utils import enable_compilation_cache
+        enable_compilation_cache()  # first run pays the compile once
         import jax.numpy as jnp
         import numpy as np
         from rgbd_visualodometry_tpu.ops import orb
@@ -298,7 +302,7 @@ def test_patch_bf16_parity_on_tpu():
     )
     proc = subprocess.run(
         [sys.executable, "-c", code], env=env, capture_output=True, text=True,
-        timeout=900, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=2400, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     if "NO_TPU" in proc.stdout:
         pytest.skip("no TPU attached")
