@@ -183,13 +183,20 @@ class MultiStreamVO:
         any stream inserted a keyframe (ba_min_frame_gap coalescing as in
         the single-stream system / reference backend.cpp:8-17)."""
         while len(self._ba_pending) > keep_lag:
-            o = self._ba_pending.pop(0)
+            # ONE host copy of the whole [S, 32] record (already in flight
+            # via copy_to_host_async).  Reading the device-side accessors
+            # (`np.asarray(o.needs_ba)`) instead dispatched a fresh slicing
+            # program + a blocking D2H fetch PER FIELD - two tunnel
+            # round-trips inside every timed step, measured at ~50 ms/step
+            # of the 72-stream budget (benchmarks/round5_tpu_runs.md).
+            o = jax.device_get(self._ba_pending.pop(0))
             needs = np.asarray(o.needs_ba)
-            kf_slots = jnp.asarray(np.asarray(o.kf_slot), jnp.int32)
             self._frames_since_ba += 1
             if needs.any() and self._frames_since_ba > self.cfg.ba_min_frame_gap:
                 self.states = self._ba(
-                    self.states, kf_slots, jnp.asarray(needs)
+                    self.states,
+                    jnp.asarray(np.asarray(o.kf_slot), jnp.int32),
+                    jnp.asarray(needs),
                 )
                 self._frames_since_ba = 0
                 self.ba_dispatches += 1
