@@ -69,8 +69,12 @@ WARMUP_FRAMES = 12
 MEASURE_FRAMES = 60
 # multistream batches are staged in HBM up front; at 64+ streams the full
 # batch sequence alone is several GB, so the batched phases use shorter
-# measurement windows (3 x 12 steps)
-MS_MEASURE_FRAMES = 36
+# measurement windows.  3 x 15 steps: with the deployment-matched BA
+# cadence (one dispatch per 15 tracked frames, multistream_cfg) every
+# window contains EXACTLY one BA dispatch - 12-step windows let the
+# per-pass best window systematically be one with zero dispatches, which
+# under-counts BA work (measured: 274 "best" vs 265 honest mean at gap 14)
+MS_MEASURE_FRAMES = 45
 # tracking-only phase: aggregate throughput plateaus by 8 streams
 # (compute-bound per stream; r4 measured 271 @ 8 vs 287 @ 32), so ONE size
 # with the secondary pass count keeps the protocol cheap (VERDICT r4 task 1c)
@@ -277,14 +281,15 @@ def multistream_cfg(cfg, full_vo: bool = False):
         ransac_hypotheses=64,
         enable_local_optimization=full_vo,
         # the reference backend coalesces keyframes under load (condvar
-        # without a queue - latest wins, backend.cpp:8-17).  At >200
-        # aggregate FPS a ~100 ms batched solve can absorb roughly one
-        # dispatch per handful of steps; gap=9 reproduces that behavior
-        # instead of serializing a solve behind every batched step.  Every
-        # dispatch still solves ALL streams' windows, so per tracked frame
-        # this remains ~1.5x the BA rate of the measured baseline
-        # deployment (16 solves over 240 frames, baseline/measured.json).
-        ba_min_frame_gap=max(cfg.ba_min_frame_gap, 9) if full_vo else cfg.ba_min_frame_gap,
+        # without a queue - latest wins, backend.cpp:8-17).  gap=14 makes
+        # the dispatch rate EXACTLY deployment-matched: one batched solve
+        # per 15 tracked frames per stream, identical to the measured
+        # baseline (16 solves over 240 frames, baseline/measured.json);
+        # every dispatch still solves ALL streams' windows.  (Round 4 ran
+        # gap=9 = 1.5x the baseline's per-frame BA rate; the ATE parity
+        # contract holds at both - test_throughput_config_parity pins it
+        # at this exact config.)
+        ba_min_frame_gap=max(cfg.ba_min_frame_gap, 14) if full_vo else cfg.ba_min_frame_gap,
     )
 
 

@@ -196,8 +196,11 @@ def active_covisible(state: VOState, A: jnp.ndarray, kf: jnp.ndarray, threshold:
     *plus kf itself* (``mapmanager.cpp:17-19`` inserts the query keyframe).
     Computed as one row of A @ A^T."""
     K = A.shape[0]
+    # int8 operands, int32 accumulation: casting the whole [K, C] incidence
+    # to int32 materialized a 4x copy per call (the MXU takes int8 natively,
+    # same path as the Hamming matmul)
     row = jax.lax.dot_general(
-        A[kf].astype(jnp.int32), A.astype(jnp.int32),
+        A[kf], A,
         dimension_numbers=(((0,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
@@ -215,7 +218,7 @@ def tracking_map_mask(state: VOState, cfg: VOConfig) -> jnp.ndarray:
     kfs = active_covisible(state, A, state.ref_kf, cfg.covisibility_weight_threshold)
     observed = (
         jax.lax.dot_general(
-            kfs.astype(jnp.int32), A.astype(jnp.int32),
+            kfs.astype(jnp.int8), A,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )

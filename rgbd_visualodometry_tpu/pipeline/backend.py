@@ -79,7 +79,7 @@ def build_problem(cfg: VOConfig, state: VOState, kf: jnp.ndarray) -> _BAProblem:
 
     A = mapstate.incidence(state)
     row = jax.lax.dot_general(
-        A[kf].astype(jnp.int32), A.astype(jnp.int32),
+        A[kf], A,  # int8 operands, int32 accumulation (no [K, C] int32 copy)
         dimension_numbers=(((0,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )  # [K] shared-observation counts with kf
@@ -102,7 +102,7 @@ def build_problem(cfg: VOConfig, state: VOState, kf: jnp.ndarray) -> _BAProblem:
     win_kf_mask = jnp.zeros(K, bool).at[jnp.where(wval, widx, K)].set(True, mode="drop")
     observed = (
         jax.lax.dot_general(
-            win_kf_mask.astype(jnp.int32), A.astype(jnp.int32),
+            win_kf_mask.astype(jnp.int8), A,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
